@@ -1,0 +1,114 @@
+"""Host-side image pipeline: decode, resize, normalize, ROI crops.
+
+Equivalent of the reference's torchvision transform stack
+(reference: vimacsa_dataset.py:25-30,123-199): Resize((224,224), antialias),
+float conversion, ImageNet normalization; ROI crops sliced from the *raw*
+decoded image with (x1:x2, y1:y2) indexing the (H, W) axes — the reference's
+axis convention (vimacsa_dataset.py:153) — then the same transform; box
+coordinates normalized by 512 and clipped to [0,1] (vimacsa_dataset.py:159-164).
+
+TPU notes: everything returns NHWC float32 (the native TPU conv layout; the
+reference is NCHW).  Unreadable images become zero tensors, matching the
+reference's soft fault tolerance (vimacsa_dataset.py:130-135).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+IMAGE_SIZE = 224
+COORD_NORM = 512.0
+
+
+def decode_image(path: str) -> Optional[np.ndarray]:
+    """Read an image file -> uint8 HWC RGB array, or None on failure."""
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
+def resize_normalize(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
+    """uint8 HWC -> normalized float32 [size, size, 3].
+
+    Uses PIL bilinear+antialias resize (the semantics of torchvision
+    Resize(antialias=True))."""
+    from PIL import Image
+    if img.shape[0] != size or img.shape[1] != size:
+        pil = Image.fromarray(img)
+        img = np.asarray(pil.resize((size, size), Image.BILINEAR), np.uint8)
+    x = img.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def crop_roi(img: np.ndarray, box: Sequence[float]) -> Optional[np.ndarray]:
+    """box = (x1, x2, y1, y2) indexing (H, W) as the reference does
+    (vimacsa_dataset.py:151-153).  Returns the raw uint8 crop or None if
+    empty."""
+    h, w = img.shape[:2]
+    x1, x2, y1, y2 = box
+    x1, x2 = max(0, int(x1)), min(h, int(x2))
+    y1, y2 = max(0, int(y1)), min(w, int(y2))
+    crop = img[x1:x2, y1:y2]
+    if crop.size == 0:
+        return None
+    return crop
+
+
+def normalize_coords(box: Sequence[float]) -> np.ndarray:
+    """(x1, x2, y1, y2) / 512 clipped to [0, 1] (vimacsa_dataset.py:159-164)."""
+    return np.clip(np.asarray(box, np.float32) / COORD_NORM, 0.0, 1.0)
+
+
+def build_visual_tensors(
+    img_paths: Sequence[str],
+    img_folder: str,
+    roi_boxes: Dict[str, List[Tuple[float, float, float, float]]],
+    num_img: int,
+    num_roi: int,
+    size: int = IMAGE_SIZE,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (images [num_img, S, S, 3], roi_images [num_img, num_roi, S, S, 3],
+    roi_coors [num_img, num_roi, 4]), zero-padded.
+
+    Mirrors vimacsa_dataset.py:123-199 / iaog_dataset.py:113-153."""
+    images = np.zeros((num_img, size, size, 3), np.float32)
+    rois = np.zeros((num_img, num_roi, size, size, 3), np.float32)
+    coors = np.zeros((num_img, num_roi, 4), np.float32)
+
+    for i, name in enumerate(list(img_paths)[:num_img]):
+        raw = decode_image(os.path.join(img_folder, name))
+        if raw is not None:
+            images[i] = resize_normalize(raw, size)
+        boxes = roi_boxes.get(name, [])[:num_roi]
+        if raw is None or not boxes:
+            continue
+        for r, box in enumerate(boxes):
+            crop = crop_roi(raw, box)
+            if crop is not None:
+                rois[i, r] = resize_normalize(crop, size)
+            coors[i, r] = normalize_coords(box)
+    return images, rois, coors
+
+
+def roi_boxes_from_csv(path: str, suffix: str = ".png") -> Dict[str, list]:
+    """roi_data.csv -> {file_name: [(x1, x2, y1, y2), ...]} preserving row
+    order.  The reference appends '.png' to file names
+    (run_multimodal_fcmf.py:182)."""
+    import csv
+    out: Dict[str, list] = {}
+    with open(path) as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        for row in reader:
+            name = row[0] + suffix
+            box = tuple(float(v) for v in row[1:5])
+            out.setdefault(name, []).append(box)
+    return out

@@ -1,0 +1,205 @@
+"""IAOG transformer decoder (TPU-native, static-shape KV cache).
+
+Re-design of the reference decoder stack (reference:
+fcmf_framework/mm_modeling.py:558-666): position-wise FFN, AddNorm,
+TransformerDecoderBlock (causal self-attention + cross-attention to the fused
+encoder sequence), sinusoidal positional encoding, and the 12-block
+`IAOGDecoder` whose output head is weight-tied to the token embedding
+(mm_modeling.py:644-645).
+
+TPU decode path: the reference caches each block's *input* states by python
+list concat (`state[2][i]`, mm_modeling.py:588-591).  Here the cache is a
+preallocated [B, max_len, H] buffer per block written with
+`lax.dynamic_update_slice`, and attention masks out unwritten positions —
+identical math, fully static shapes, scannable.
+
+Cross-attention mask semantics (config `decoder_cross_mask_mode`):
+* "causal_quirk" (faithful default): the reference passes the 0/1 combined
+  encoder mask as `memory_len`; being 2-D it triggers a causal tril over
+  (dec_len, enc_len) regardless of values (mm_modeling.py:115-118,607-610), so
+  decoder step t attends encoder tokens 0..t only.  At incremental decode we
+  keep the train-consistent rule (step t sees 0..t); the reference's own eval
+  harness is commented out (fcmf_pretraining.py:379-518) so train semantics
+  are definitive.
+* "padding": the sane alternative — the combined mask is used as an encoder
+  padding mask.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from macsa_tpu.config import DecoderConfig
+from macsa_tpu.models import layers
+from macsa_tpu.models.attention import PerHeadAttention, MASK_FILL
+
+Array = jax.Array
+Cache = Dict[str, Any]
+
+
+def sinusoidal_positions(max_len: int, dim: int) -> jnp.ndarray:
+    """P[pos, 2i] = sin(pos / 10000^(2i/dim)), P[pos, 2i+1] = cos(...)
+    (mm_modeling.py:615-627)."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    inv = jnp.power(10000.0, jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    x = pos / inv  # [max_len, dim/2]
+    p = jnp.zeros((max_len, dim), dtype=jnp.float32)
+    p = p.at[:, 0::2].set(jnp.sin(x))
+    p = p.at[:, 1::2].set(jnp.cos(x))
+    return p
+
+
+class PositionWiseFFN(nn.Module):
+    """dense1 -> gelu -> dense2 (mm_modeling.py:558-565)."""
+
+    hidden_size: int
+    ffn_hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Dense(self.ffn_hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="dense1")(x)
+        h = layers.gelu_erf(h)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="dense2")(h)
+
+
+class AddNorm(nn.Module):
+    """LN(dropout(Y) + X) (mm_modeling.py:566-573)."""
+
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array, deterministic: bool = True) -> Array:
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return layers.LayerNormTF(epsilon=1e-12, dtype=self.dtype, name="ln")(y + x)
+
+
+class TransformerDecoderBlock(nn.Module):
+    """Causal self-attn + encoder cross-attn + FFN (mm_modeling.py:574-613)."""
+
+    config: DecoderConfig
+    cross_mask_mode: str = "causal_quirk"
+
+    def setup(self):
+        cfg = self.config
+        self.attention1 = PerHeadAttention(cfg.hidden_size, cfg.head_dim, cfg.num_heads,
+                                           dtype=cfg.jnp_dtype)
+        self.addnorm1 = AddNorm(cfg.dropout, dtype=cfg.jnp_dtype)
+        self.attention2 = PerHeadAttention(cfg.hidden_size, cfg.head_dim, cfg.num_heads,
+                                           dtype=cfg.jnp_dtype)
+        self.addnorm2 = AddNorm(cfg.dropout, dtype=cfg.jnp_dtype)
+        self.ffn = PositionWiseFFN(cfg.hidden_size, cfg.ffn_hidden, dtype=cfg.jnp_dtype)
+        self.add_norm3 = AddNorm(cfg.dropout, dtype=cfg.jnp_dtype)
+
+    def _cross(self, y: Array, enc_outputs: Array, enc_mask: Optional[Array],
+               step: Optional[Array], deterministic: bool) -> Array:
+        """Cross-attention with the configured mask semantics."""
+        b, lq = y.shape[0], y.shape[1]
+        lk = enc_outputs.shape[1]
+        if self.cross_mask_mode == "causal_quirk":
+            if step is None:  # teacher forcing: tril(q_len, enc_len)
+                return self.attention2(enc_outputs, y, causal=True)
+            # incremental: step t sees encoder tokens 0..t
+            lengths = jnp.full((b,), 0, jnp.int32) + jnp.minimum(step + 1, lk)
+            return self.attention2(enc_outputs, y, lengths=lengths)
+        # padding mode: enc_mask is a [B, Lk] 0/1 mask
+        if enc_mask is None:
+            return self.attention2(enc_outputs, y)
+        return self.attention2(enc_outputs, y, key_mask=enc_mask)
+
+    def __call__(self, x: Array, enc_outputs: Array, enc_mask: Optional[Array],
+                 deterministic: bool = True,
+                 cache: Optional[Cache] = None,
+                 step: Optional[Array] = None) -> Tuple[Array, Optional[Cache]]:
+        if cache is None:
+            # teacher forcing: causal tril over the full sequence
+            x2 = self.attention1(x, x, causal=True)
+            y = self.addnorm1(x, x2, deterministic)
+            y2 = self._cross(y, enc_outputs, enc_mask, None, deterministic)
+            z = self.addnorm2(y, y2, deterministic)
+            out = self.add_norm3(z, self.ffn(z), deterministic)
+            return out, None
+
+        # incremental decode: x is [B, 1, H]; cache["kv"] is [B, max_len, H]
+        kv = jax.lax.dynamic_update_slice(
+            cache["kv"], x.astype(cache["kv"].dtype), (0, step, 0))
+        lengths = jnp.full((x.shape[0],), step + 1, jnp.int32)
+        x2 = self.attention1(kv, x, lengths=lengths)
+        y = self.addnorm1(x, x2, deterministic)
+        y2 = self._cross(y, enc_outputs, enc_mask, step, deterministic)
+        z = self.addnorm2(y, y2, deterministic)
+        out = self.add_norm3(z, self.ffn(z), deterministic)
+        return out, {"kv": kv}
+
+
+class IAOGDecoder(nn.Module):
+    """12-block decoder; embedding scaled by sqrt(H) + sinusoidal pos-enc;
+    output head weight-tied to the embedding (mm_modeling.py:634-666).
+
+    The token-embedding table is passed in (shared three ways with the text
+    backbone, fcmf_pretraining.py:162-166).
+    """
+
+    config: DecoderConfig
+    cross_mask_mode: str = "causal_quirk"
+
+    def setup(self):
+        cfg = self.config
+        self.blocks = [
+            TransformerDecoderBlock(cfg, cross_mask_mode=self.cross_mask_mode,
+                                    name=f"block_{i}")
+            for i in range(cfg.num_blocks)
+        ]
+        self.out_bias = self.param("out_bias", nn.initializers.zeros,
+                                   (cfg.vocab_size,), jnp.float32)
+        self.embed_dropout = nn.Dropout(cfg.dropout)
+        self.pos_table = sinusoidal_positions(cfg.max_position_embeddings,
+                                              cfg.hidden_size)
+
+    def init_cache(self, batch_size: int) -> Cache:
+        cfg = self.config
+        return {
+            f"block_{i}": {"kv": jnp.zeros(
+                (batch_size, cfg.max_decode_len, cfg.hidden_size), cfg.jnp_dtype)}
+            for i in range(cfg.num_blocks)
+        }
+
+    def _embed(self, token_ids: Array, embedding_table: Array,
+               position_offset: Array, deterministic: bool) -> Array:
+        cfg = self.config
+        x = embedding_table[token_ids].astype(cfg.jnp_dtype) * math.sqrt(cfg.hidden_size)
+        l = token_ids.shape[1]
+        pe = jax.lax.dynamic_slice(self.pos_table, (position_offset, 0),
+                                   (l, cfg.hidden_size))
+        x = x + pe.astype(cfg.jnp_dtype)[None]
+        return self.embed_dropout(x, deterministic=deterministic)
+
+    def __call__(self, token_ids: Array, enc_outputs: Array,
+                 enc_mask: Optional[Array], embedding_table: Array,
+                 deterministic: bool = True,
+                 cache: Optional[Cache] = None,
+                 step: Optional[Array] = None):
+        """Teacher-forcing when cache is None ([B, T] ids -> [B, T, V] logits);
+        otherwise one decode step ([B, 1] ids -> [B, 1, V] logits, new cache)."""
+        offset = jnp.asarray(0, jnp.int32) if cache is None else step
+        x = self._embed(token_ids, embedding_table, offset, deterministic)
+        new_cache = {} if cache is not None else None
+        for i, blk in enumerate(self.blocks):
+            blk_cache = None if cache is None else cache[f"block_{i}"]
+            x, updated = blk(x, enc_outputs, enc_mask, deterministic,
+                             cache=blk_cache, step=step)
+            if cache is not None:
+                new_cache[f"block_{i}"] = updated
+        logits = (x.astype(jnp.float32) @ embedding_table.T.astype(jnp.float32)
+                  + self.out_bias)
+        if cache is not None:
+            return logits, new_cache
+        return logits

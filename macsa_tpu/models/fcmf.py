@@ -1,0 +1,160 @@
+"""FCMF — Fine-grained Cross-Modal Fusion encoder and classifier (TPU-native).
+
+Re-design of the reference encoder (reference:
+fcmf_framework/fcmf_pretraining.py:14-141) and Phase-2 classifier
+(fcmf_framework/fcmf_multimodal.py:12-51).
+
+Architecture (per aspect-view):
+  1. text encode -> sequence_output [B, L, H],
+  2. per image i (reference loops i in Python, fcmf_pretraining.py:47-124;
+     here the image axis is *folded into the batch* so one batched attention
+     covers all 7 images):
+     a. project 49x2048 grid -> H (`vismap2text`), text->image cross-attention
+        (`text2img_attention`) + first-token pool -> h_i,
+     b. project ROI 2048 -> H (`roimap2text`), geometric box self-attention
+        (`box_head`), concat text+ROI -> shared `mm_attention` self-attention
+        + first-token pool -> r_i,
+  3. fuse [CLS, h_1..h_I, r_1..r_I] (1+2*I tokens) through the *same*
+     `mm_attention` weights (the reference shares the module between the
+     per-image text+ROI encoding and the final fusion,
+     fcmf_pretraining.py:117,139) -> fused sequence.
+
+Masking fidelity: every internal mask is sliced from `added_attention_mask`
+exactly as the reference does (fcmf_pretraining.py:52-56,97-100,133-136) —
+including the quirk that the ROI-branch mask reuses the *text-position* slice
+`added_attention_mask[:, :L+num_roi]` (all-ones in the shipped datasets, so
+fusion effectively runs unmasked).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from macsa_tpu.config import FCMFConfig
+from macsa_tpu.models import layers
+from macsa_tpu.models.box_attention import BoxMultiHeadedAttention
+from macsa_tpu.models.text_encoder import TextEncoder
+
+Array = jax.Array
+
+
+def _fold(x: Array) -> Array:
+    """[B, I, ...] -> [B*I, ...]."""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+class FCMFEncoder(nn.Module):
+    config: FCMFConfig
+
+    def setup(self):
+        cfg = self.config
+        mc = cfg.model
+        init = layers.normal_init(mc.initializer_range)
+        self.bert = TextEncoder(cfg.text, name="bert")
+        self.vismap2text = nn.Dense(mc.hidden_size, dtype=mc.jnp_dtype,
+                                    param_dtype=jnp.float32, kernel_init=init)
+        self.roimap2text = nn.Dense(mc.hidden_size, dtype=mc.jnp_dtype,
+                                    param_dtype=jnp.float32, kernel_init=init)
+        self.box_head = BoxMultiHeadedAttention(
+            num_heads=cfg.box_heads, d_model=mc.hidden_size,
+            dropout_rate=mc.attention_probs_dropout_prob, dtype=mc.jnp_dtype)
+        self.text2img_attention = layers.BertCrossEncoder(mc)
+        self.text2img_pooler = layers.TokenPooler(mc, token_index=0)
+        self.text2roi_pooler = layers.TokenPooler(mc, token_index=0)
+        self.mm_attention = layers.MultimodalEncoder(mc)
+
+    def __call__(
+        self,
+        input_ids: Array,            # [B, L]
+        visual_embeds_att: Array,    # [B, I, 49, 2048] grid features
+        roi_embeds_att: Array,       # [B, I, R, 2048] pooled ROI features
+        roi_coors: Array,            # [B, I, R, 4]
+        token_type_ids: Optional[Array] = None,
+        attention_mask: Optional[Array] = None,
+        added_attention_mask: Optional[Array] = None,
+        deterministic: bool = True,
+        embedding_table: Optional[Array] = None,
+    ) -> Array:
+        cfg = self.config
+        dt = cfg.model.jnp_dtype
+        b, num_imgs = visual_embeds_att.shape[0], visual_embeds_att.shape[1]
+
+        # 1. Text encoding
+        sequence_output, _ = self.bert(input_ids, token_type_ids, attention_mask,
+                                       deterministic=deterministic,
+                                       embedding_table=embedding_table)
+        seq_len = sequence_output.shape[1]
+        if added_attention_mask is None:
+            added_attention_mask = jnp.ones(
+                (b, seq_len + cfg.num_patches), dtype=jnp.int32)
+
+        # Fold the image axis into the batch: [B, I, ...] -> [B*I, ...]
+        text_rep = jnp.repeat(sequence_output, num_imgs, axis=0)  # [B*I, L, H]
+
+        # --- A. image-guided cross attention (fcmf_pretraining.py:48-93) ---
+        img_embeds = _fold(visual_embeds_att).astype(dt)      # [B*I, 49, 2048]
+        converted_img = self.vismap2text(img_embeds)          # [B*I, 49, H]
+        img_mask = added_attention_mask[:, :cfg.num_patches]
+        img_mask = jnp.repeat(img_mask, num_imgs, axis=0)
+        ext_img_mask = layers.extend_attention_mask(img_mask, dtype=dt)
+
+        text2img = self.text2img_attention(text_rep, converted_img, ext_img_mask,
+                                           deterministic=deterministic)
+        h_i = self.text2img_pooler(text2img)                  # [B*I, H]
+        all_h = h_i.reshape(b, num_imgs, -1)
+
+        # --- B. geometric ROI-aware attention (fcmf_pretraining.py:95-124) ---
+        # Quirk reproduced: mask slice uses text positions [:L+num_roi]
+        # (fcmf_pretraining.py:97) — all ones in the shipped pipeline.
+        t2r_mask = added_attention_mask[:, : seq_len + cfg.num_roi]
+        t2r_mask = jnp.repeat(t2r_mask, num_imgs, axis=0)
+        ext_t2r_mask = layers.extend_attention_mask(t2r_mask, dtype=dt)
+
+        roi_embeds = _fold(roi_embeds_att).astype(dt)         # [B*I, R, 2048]
+        converted_roi = self.roimap2text(roi_embeds)          # [B*I, R, H]
+        relative_roi = self.box_head(converted_roi, converted_roi, converted_roi,
+                                     _fold(roi_coors), deterministic=deterministic)
+        text_roi = jnp.concatenate([text_rep, relative_roi], axis=1)
+        roi_encoded = self.mm_attention(text_roi, ext_t2r_mask,
+                                        deterministic=deterministic)
+        r_i = self.text2roi_pooler(roi_encoded)               # [B*I, H]
+        all_r = r_i.reshape(b, num_imgs, -1)
+
+        # --- C. fusion: [CLS | h_1..h_I | r_1..r_I] (fcmf_pretraining.py:126-141)
+        fusion = jnp.concatenate(
+            [sequence_output[:, :1, :], all_h, all_r], axis=1)  # [B, 1+2I, H]
+        comb_mask = added_attention_mask[:, : 1 + 2 * num_imgs]
+        ext_comb_mask = layers.extend_attention_mask(comb_mask, dtype=dt)
+        fused = self.mm_attention(fusion, ext_comb_mask, deterministic=deterministic)
+        return fused
+
+
+class FCMF(nn.Module):
+    """Phase-2 classifier: FCMFEncoder -> first-token pool -> dropout -> Dense
+    (fcmf_framework/fcmf_multimodal.py:39-51)."""
+
+    config: FCMFConfig
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = FCMFEncoder(cfg)
+        self.text_pooler = layers.TokenPooler(cfg.model, token_index=0)
+        self.dropout = nn.Dropout(cfg.model.hidden_dropout_prob)
+        self.classifier = nn.Dense(cfg.num_labels, dtype=jnp.float32,
+                                   param_dtype=jnp.float32,
+                                   kernel_init=layers.normal_init(
+                                       cfg.model.initializer_range))
+
+    def __call__(self, input_ids, visual_embeds_att, roi_embeds_att, roi_coors,
+                 token_type_ids=None, attention_mask=None,
+                 added_attention_mask=None, deterministic: bool = True) -> Array:
+        fused = self.encoder(input_ids, visual_embeds_att, roi_embeds_att,
+                             roi_coors, token_type_ids, attention_mask,
+                             added_attention_mask, deterministic=deterministic)
+        cls = self.text_pooler(fused)
+        cls = self.dropout(cls, deterministic=deterministic)
+        return self.classifier(cls.astype(jnp.float32))

@@ -1,0 +1,302 @@
+"""BERT-style fusion building blocks, TPU-native.
+
+Functional re-design of the reference's fusion layer zoo
+(reference: fcmf_framework/mm_modeling.py:10-431): self-attention layers,
+cross-attention ("co-attention") layers, FFN blocks, TF-style LayerNorm
+(eps inside the sqrt), and the first/second-token poolers.
+
+TPU notes:
+* attention is a single batched einsum chain — no per-head Python loops;
+  XLA maps the contractions straight onto the MXU,
+* LayerNorm statistics are always computed in float32 regardless of the
+  activation dtype (bf16-safe),
+* masks are *additive* float masks (0 for keep, -10000.0 for drop), matching
+  the reference's convention (mm_modeling.py:206,253; fcmf_pretraining.py:56).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from macsa_tpu.config import ModelConfig
+
+Array = jax.Array
+
+
+def gelu_erf(x: Array) -> Array:
+    """Exact (erf-based) GELU — the reference's `gelu` (mm_modeling.py:10-15)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def swish(x: Array) -> Array:
+    return x * jax.nn.sigmoid(x)
+
+
+ACT2FN: dict[str, Callable[[Array], Array]] = {
+    "gelu": gelu_erf,
+    "relu": jax.nn.relu,
+    "swish": swish,
+}
+
+
+def normal_init(stddev: float = 0.02):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class LayerNormTF(nn.Module):
+    """LayerNorm with epsilon inside the square root, stats in f32.
+
+    Equivalent math to the reference's FCMFLayerNorm (mm_modeling.py:158-171).
+    """
+
+    epsilon: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def split_heads(x: Array, num_heads: int) -> Array:
+    """[B, L, H] -> [B, num_heads, L, H/num_heads]."""
+    b, l, h = x.shape
+    return x.reshape(b, l, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: Array) -> Array:
+    """[B, n, L, d] -> [B, L, n*d]."""
+    b, n, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, n * d)
+
+
+def attention_core(
+    q: Array,
+    k: Array,
+    v: Array,
+    additive_mask: Optional[Array],
+    *,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[Array] = None,
+    softmax_dtype: jnp.dtype = jnp.float32,
+) -> Array:
+    """Scaled-dot-product attention over pre-split heads.
+
+    q,k,v: [B, n_heads, L, d]; additive_mask broadcastable to [B, n, Lq, Lk].
+    Softmax runs in float32 for bf16 stability; result returns in q.dtype.
+    Matches the reference score math (mm_modeling.py:202-215).
+    """
+    d = q.shape[-1]
+    scores = jnp.einsum("bnqd,bnkd->bnqk", q, k).astype(softmax_dtype)
+    scores = scores / math.sqrt(d)
+    if additive_mask is not None:
+        scores = scores + additive_mask.astype(softmax_dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(q.dtype)
+    return jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+
+
+class BertSelfAttention(nn.Module):
+    """Multi-head self/cross attention projections + core.
+
+    Covers both BertSelfAttention (mm_modeling.py:174-219) and BertCoAttention
+    (mm_modeling.py:221-266) of the reference — they differ only in whether
+    K/V come from a second sequence.
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, q_states: Array, kv_states: Array, additive_mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        cfg = self.config
+        dense = lambda name: nn.Dense(cfg.hidden_size, dtype=cfg.jnp_dtype,
+                                      param_dtype=jnp.float32,
+                                      kernel_init=normal_init(cfg.initializer_range),
+                                      name=name)
+        q = split_heads(dense("query")(q_states), cfg.num_attention_heads)
+        k = split_heads(dense("key")(kv_states), cfg.num_attention_heads)
+        v = split_heads(dense("value")(kv_states), cfg.num_attention_heads)
+        rng = (None if deterministic or cfg.attention_probs_dropout_prob == 0.0
+               else self.make_rng("dropout"))
+        ctx = attention_core(q, k, v, additive_mask,
+                             dropout_rate=cfg.attention_probs_dropout_prob,
+                             deterministic=deterministic, dropout_rng=rng)
+        return merge_heads(ctx)
+
+
+class BertSelfOutput(nn.Module):
+    """dense -> dropout -> LN(x + residual) (mm_modeling.py:269-280)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden: Array, residual: Array, deterministic: bool = True) -> Array:
+        cfg = self.config
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.jnp_dtype, param_dtype=jnp.float32,
+                     kernel_init=normal_init(cfg.initializer_range), name="dense")(hidden)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return LayerNormTF(epsilon=cfg.layer_norm_eps, dtype=cfg.jnp_dtype,
+                           name="LayerNorm")(h + residual)
+
+
+class BertAttention(nn.Module):
+    """Self-attention + output block (mm_modeling.py:283-292)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden: Array, additive_mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        ctx = BertSelfAttention(self.config, name="self")(
+            hidden, hidden, additive_mask, deterministic)
+        return BertSelfOutput(self.config, name="output")(ctx, hidden, deterministic)
+
+
+class BertCrossAttention(nn.Module):
+    """Cross-attention (Q from s1, K/V from s2) + output (mm_modeling.py:294-303)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, s1: Array, s2: Array, s2_additive_mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        ctx = BertSelfAttention(self.config, name="self")(
+            s1, s2, s2_additive_mask, deterministic)
+        return BertSelfOutput(self.config, name="output")(ctx, s1, deterministic)
+
+
+class BertMLP(nn.Module):
+    """Intermediate + output FFN (mm_modeling.py:305-328)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden: Array, deterministic: bool = True) -> Array:
+        cfg = self.config
+        act = ACT2FN[cfg.hidden_act]
+        h = nn.Dense(cfg.intermediate_size, dtype=cfg.jnp_dtype, param_dtype=jnp.float32,
+                     kernel_init=normal_init(cfg.initializer_range),
+                     name="intermediate_dense")(hidden)
+        h = act(h)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.jnp_dtype, param_dtype=jnp.float32,
+                     kernel_init=normal_init(cfg.initializer_range),
+                     name="output_dense")(h)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return LayerNormTF(epsilon=cfg.layer_norm_eps, dtype=cfg.jnp_dtype,
+                           name="output_LayerNorm")(h + hidden)
+
+
+class BertLayer(nn.Module):
+    """Full transformer layer (mm_modeling.py:331-342)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden: Array, additive_mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        h = BertAttention(self.config, name="attention")(hidden, additive_mask, deterministic)
+        return BertMLP(self.config, name="mlp")(h, deterministic)
+
+
+class BertCrossAttentionLayer(nn.Module):
+    """Cross-attention transformer layer (mm_modeling.py:344-355)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, s1: Array, s2: Array, s2_additive_mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        h = BertCrossAttention(self.config, name="attention")(
+            s1, s2, s2_additive_mask, deterministic)
+        return BertMLP(self.config, name="mlp")(h, deterministic)
+
+
+class MultimodalEncoder(nn.Module):
+    """Stack of `num_layers` BertLayers; the reference uses 1
+    (mm_modeling.py:373-387)."""
+
+    config: ModelConfig
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, hidden: Array, additive_mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        for i in range(self.num_layers):
+            hidden = BertLayer(self.config, name=f"layer_{i}")(
+                hidden, additive_mask, deterministic)
+        return hidden
+
+
+class BertCrossEncoder(nn.Module):
+    """Stack of `num_layers` cross-attention layers; the reference uses 1
+    (mm_modeling.py:389-403)."""
+
+    config: ModelConfig
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, s1: Array, s2: Array, s2_additive_mask: Optional[Array],
+                 deterministic: bool = True) -> Array:
+        for i in range(self.num_layers):
+            s1 = BertCrossAttentionLayer(self.config, name=f"layer_{i}")(
+                s1, s2, s2_additive_mask, deterministic)
+        return s1
+
+
+class TokenPooler(nn.Module):
+    """dense+tanh over the hidden state at `token_index`.
+
+    token_index=0 == BertPooler (mm_modeling.py:419-431);
+    token_index=1 == BertText1Pooler (mm_modeling.py:405-417).
+    """
+
+    config: ModelConfig
+    token_index: int = 0
+
+    @nn.compact
+    def __call__(self, hidden: Array) -> Array:
+        cfg = self.config
+        first = hidden[:, self.token_index]
+        pooled = nn.Dense(cfg.hidden_size, dtype=cfg.jnp_dtype, param_dtype=jnp.float32,
+                          kernel_init=normal_init(cfg.initializer_range),
+                          name="dense")(first)
+        return jnp.tanh(pooled)
+
+
+class AttentionPooler(nn.Module):
+    """dense+tanh applied position-wise (mm_modeling.py:148-157)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden: Array) -> Array:
+        cfg = self.config
+        pooled = nn.Dense(cfg.hidden_size, dtype=cfg.jnp_dtype, param_dtype=jnp.float32,
+                          kernel_init=normal_init(cfg.initializer_range),
+                          name="dense")(hidden)
+        return jnp.tanh(pooled)
+
+
+def extend_attention_mask(mask: Array, dtype=jnp.float32, neg: float = -10000.0) -> Array:
+    """[B, L] 0/1 mask -> [B, 1, 1, L] additive mask with `neg` at masked slots.
+
+    The reference's extended-mask convention (fcmf_pretraining.py:54-56)."""
+    ext = mask[:, None, None, :].astype(dtype)
+    return (1.0 - ext) * neg

@@ -1,0 +1,199 @@
+"""FCMF Seq2Seq — Phase-1 IAOG pretraining model (TPU-native).
+
+Re-design of the reference FCMFSeq2Seq (reference:
+fcmf_framework/fcmf_pretraining.py:143-221): FCMFEncoder + IAOGDecoder with
+three-way weight tying (decoder embedding = backbone word embeddings = output
+head, fcmf_pretraining.py:162-166).  The shared token-embedding table lives
+once as this module's `shared_embedding` param and is passed into both the
+text backbone and the decoder.
+
+The decoder cross-attention mask is rebuilt exactly as the reference does
+(fcmf_pretraining.py:184-195): combined = [text_mask[:, :fused_len - 2*I],
+ones(2*I)] over the fused encoder sequence (fused_len = 1+2*I, so the text
+slice is the single CLS slot).
+
+Decode: greedy and batched beam search as `lax.scan`/`lax.while_loop`-style
+static loops with the decoder's preallocated KV cache — replacing the
+reference's per-sample Python beams with per-beam cache cloning
+(fcmf_pretraining.py:379-518, commented reference impl).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from macsa_tpu.config import DecoderConfig, FCMFConfig
+from macsa_tpu.models import layers
+from macsa_tpu.models.decoder import IAOGDecoder
+from macsa_tpu.models.fcmf import FCMFEncoder
+
+Array = jax.Array
+
+
+class FCMFSeq2Seq(nn.Module):
+    config: FCMFConfig
+    decoder_config: DecoderConfig
+
+    def setup(self):
+        cfg = self.config
+        self.shared_embedding = self.param(
+            "shared_embedding",
+            nn.initializers.normal(stddev=cfg.model.initializer_range),
+            (self.decoder_config.vocab_size, cfg.model.hidden_size), jnp.float32)
+        self.encoder = FCMFEncoder(cfg)
+        self.decoder = IAOGDecoder(self.decoder_config,
+                                   cross_mask_mode=cfg.decoder_cross_mask_mode)
+
+    def encode(self, enc_input_ids, visual_embeds_att, roi_embeds_att, roi_coors,
+               token_type_ids=None, attention_mask=None, added_attention_mask=None,
+               deterministic: bool = True) -> Tuple[Array, Array]:
+        """Returns (fused encoder sequence [B, 1+2I, H], combined mask [B, 1+2I])."""
+        cfg = self.config
+        enc_output = self.encoder(
+            enc_input_ids, visual_embeds_att, roi_embeds_att, roi_coors,
+            token_type_ids, attention_mask, added_attention_mask,
+            deterministic=deterministic, embedding_table=self.shared_embedding)
+        # Rebuild the decoder cross mask (fcmf_pretraining.py:184-195)
+        num_visual = 2 * cfg.num_imgs
+        text_len = enc_output.shape[1] - num_visual  # == 1 (the fused CLS slot)
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(enc_input_ids)
+        text_mask = attention_mask[:, :text_len]
+        vis_mask = jnp.ones((enc_output.shape[0], num_visual), text_mask.dtype)
+        combined_mask = jnp.concatenate([text_mask, vis_mask], axis=1)
+        return enc_output, combined_mask
+
+    def __call__(self, enc_input_ids, dec_input_ids, visual_embeds_att,
+                 roi_embeds_att, roi_coors, token_type_ids=None,
+                 attention_mask=None, added_attention_mask=None,
+                 deterministic: bool = True) -> Array:
+        """Teacher-forcing forward -> [B, T_dec, V] logits."""
+        enc_output, combined_mask = self.encode(
+            enc_input_ids, visual_embeds_att, roi_embeds_att, roi_coors,
+            token_type_ids, attention_mask, added_attention_mask, deterministic)
+        return self.decoder(dec_input_ids, enc_output, combined_mask,
+                            self.shared_embedding, deterministic=deterministic)
+
+    # ------------------------------------------------------------------
+    # Decoding (eval only, deterministic)
+    # ------------------------------------------------------------------
+
+    def decode_step(self, token: Array, enc_output: Array, combined_mask: Array,
+                    cache, step: Array):
+        """One incremental decoder step. token: [B, 1] -> ([B, 1, V], cache)."""
+        return self.decoder(token, enc_output, combined_mask,
+                            self.shared_embedding, deterministic=True,
+                            cache=cache, step=step)
+
+    def greedy_decode(self, enc_input_ids, visual_embeds_att, roi_embeds_att,
+                      roi_coors, bos_id: int, eos_id: int,
+                      token_type_ids=None, attention_mask=None,
+                      added_attention_mask=None, max_len: Optional[int] = None) -> Array:
+        """Batched greedy decode -> [B, max_len] token ids (eos-padded)."""
+        max_len = max_len or self.decoder_config.max_decode_len
+        enc_output, combined_mask = self.encode(
+            enc_input_ids, visual_embeds_att, roi_embeds_att, roi_coors,
+            token_type_ids, attention_mask, added_attention_mask, True)
+        b = enc_input_ids.shape[0]
+        cache = self.decoder.init_cache(b)
+
+        def body(carry, step):
+            token, cache, done = carry
+            logits, cache = self.decode_step(token, enc_output, combined_mask,
+                                             cache, step)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, eos_id, nxt)
+            done = done | (nxt == eos_id)
+            return (nxt[:, None], cache, done), nxt
+
+        init = (jnp.full((b, 1), bos_id, jnp.int32), cache,
+                jnp.zeros((b,), bool))
+        _, tokens = jax.lax.scan(body, init, jnp.arange(max_len))
+        return tokens.T  # [B, max_len]
+
+    def beam_decode(self, enc_input_ids, visual_embeds_att, roi_embeds_att,
+                    roi_coors, bos_id: int, eos_id: int, beam_size: int = 3,
+                    token_type_ids=None, attention_mask=None,
+                    added_attention_mask=None, max_len: Optional[int] = None,
+                    length_penalty: float = 0.0) -> Tuple[Array, Array]:
+        """Batched beam search -> (best sequences [B, max_len], scores [B]).
+
+        Static-shape equivalent of the reference's per-sample beams with
+        KV-cache cloning (fcmf_pretraining.py:437-507): beams are folded into
+        the batch axis, caches gather-reordered each step.
+        """
+        max_len = max_len or self.decoder_config.max_decode_len
+        k = beam_size
+        enc_output, combined_mask = self.encode(
+            enc_input_ids, visual_embeds_att, roi_embeds_att, roi_coors,
+            token_type_ids, attention_mask, added_attention_mask, True)
+        b, v = enc_input_ids.shape[0], self.decoder_config.vocab_size
+
+        def expand(x):  # [B, ...] -> [B*k, ...]
+            return jnp.repeat(x, k, axis=0)
+
+        enc_output_e, combined_mask_e = expand(enc_output), expand(combined_mask)
+        cache = self.decoder.init_cache(b * k)
+
+        neg_inf = -1e9
+        # beam 0 is live at score 0; others start dead so the first step
+        # seeds k distinct continuations of BOS
+        scores = jnp.tile(jnp.array([0.0] + [neg_inf] * (k - 1)), (b,)).reshape(b, k)
+        tokens = jnp.full((b, k, 1), bos_id, jnp.int32)
+        seqs = jnp.full((b, k, max_len), eos_id, jnp.int32)
+        done = jnp.zeros((b, k), bool)
+
+        def body(carry, step):
+            tokens, cache, scores, seqs, done = carry
+            logits, cache = self.decode_step(tokens.reshape(b * k, 1),
+                                             enc_output_e, combined_mask_e,
+                                             cache, step)
+            logp = jax.nn.log_softmax(logits[:, -1, :], axis=-1).reshape(b, k, v)
+            # finished beams only extend with eos at no cost
+            eos_only = jnp.full((v,), neg_inf).at[eos_id].set(0.0)
+            logp = jnp.where(done[..., None], eos_only[None, None, :], logp)
+            cand = scores[..., None] + logp  # [B, k, V]
+            flat = cand.reshape(b, k * v)
+            new_scores, idx = jax.lax.top_k(flat, k)  # [B, k]
+            beam_idx = idx // v
+            tok_idx = (idx % v).astype(jnp.int32)
+
+            gather = lambda x: jnp.take_along_axis(x, beam_idx, axis=1)
+            seqs = jnp.take_along_axis(seqs, beam_idx[..., None], axis=1)
+            seqs = jax.lax.dynamic_update_slice(
+                seqs, tok_idx[..., None], (0, 0, step))
+            done = gather(done) | (tok_idx == eos_id)
+
+            # reorder caches: flat index = b*k + beam
+            flat_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
+            cache = jax.tree_util.tree_map(lambda x: x[flat_idx], cache)
+            return (tok_idx[..., None], cache, new_scores, seqs, done), None
+
+        (tokens, cache, scores, seqs, done), _ = jax.lax.scan(
+            body, (tokens, cache, scores, seqs, done), jnp.arange(max_len))
+
+        if length_penalty > 0.0:
+            lengths = jnp.sum(seqs != eos_id, axis=-1) + 1.0
+            scores = scores / (lengths ** length_penalty)
+        best = jnp.argmax(scores, axis=1)
+        best_seqs = jnp.take_along_axis(
+            seqs, best[:, None, None], axis=1).squeeze(1)
+        best_scores = jnp.take_along_axis(scores, best[:, None], axis=1).squeeze(1)
+        return best_seqs, best_scores
+
+
+def seq2seq_loss(logits: Array, labels: Array, ignore_index: int = -100) -> Array:
+    """Token-level CE with ignore mask — CrossEntropyLoss(ignore_index=-100)
+    over decoder logits (run_pretraining_fcmf.py:322-324)."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

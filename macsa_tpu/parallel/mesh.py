@@ -1,0 +1,61 @@
+"""Device mesh + sharding utilities (SPMD data parallelism).
+
+Replaces the reference's DDP/NCCL process groups
+(reference: run_multimodal_fcmf.py:126-169, run_pretraining_fcmf.py:87-96)
+with `jax.sharding.Mesh` + NamedSharding: the batch is sharded over the `dp`
+axis, params are replicated, and XLA inserts the gradient all-reduce over ICI
+— no user-level process group or explicit collective calls.
+
+The mesh is (dp, mp): `mp` (model axis) is available for optional tensor
+sharding of the large embedding/FFN matmuls; the reference has no TP and none
+is needed for parity (SURVEY.md §2.4), so the default is mp=1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, mp: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a (dp, mp) mesh over the available devices.
+
+    dp defaults to n_devices // mp.  On a single chip this is a trivial
+    1x1 mesh — the same code path runs everywhere.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // mp
+    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, axis_names=("dp", "mp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host-side batch pytree on the mesh, sharded over dp.
+
+    Per-host data sharding (the reference's DistributedSampler + manual
+    dataframe slicing, run_pretraining_fcmf.py:170-172,281) is subsumed by
+    device_put with a dp-sharded layout.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

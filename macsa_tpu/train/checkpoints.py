@@ -1,0 +1,127 @@
+"""Checkpointing: full train-state save/resume, best/last retention, and
+Phase-1 -> Phase-2 encoder transfer (orbax).
+
+Reproduces the reference's checkpoint semantics
+(reference: run_multimodal_fcmf.py:40-58,316-380,554-563):
+* a checkpoint carries {step/epoch, best_score, params, visual params,
+  optimizer state} — everything needed to resume incl. the LR-schedule
+  position (the schedule is a pure function of the step, so restoring the
+  step restores the schedule; the AMP GradScaler has no TPU equivalent),
+* `best` and `last` checkpoints are kept side by side (:554-563),
+* cross-phase transfer loads only the encoder subtree, strict=False
+  (:382-412): Phase-1 FCMFSeq2Seq params -> Phase-2 FCMF params, including
+  mapping the seq2seq's tied `shared_embedding` back into the classifier's
+  internal `bert/embeddings/word_embeddings` table.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from macsa_tpu.train.state import TrainState
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with best/last retention."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = _ocp().StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.directory, tag)
+
+    def save(self, tag: str, state: TrainState, epoch: int,
+             best_score: float = 0.0) -> None:
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "visual_params": state.visual_params,
+            "opt_state": state.opt_state,
+            "epoch": np.asarray(epoch, np.int32),
+            "best_score": np.asarray(best_score, np.float32),
+        }
+        path = self._path(tag)
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, tag: str, state: TrainState) -> Tuple[TrainState, int, float]:
+        """Restore into the structure of `state` -> (state, epoch, best)."""
+        template = {
+            "step": state.step,
+            "params": state.params,
+            "visual_params": state.visual_params,
+            "opt_state": state.opt_state,
+            "epoch": np.asarray(0, np.int32),
+            "best_score": np.asarray(0.0, np.float32),
+        }
+        got = self._ckptr.restore(self._path(tag), template)
+        new_state = state.replace(step=got["step"], params=got["params"],
+                                  visual_params=got["visual_params"],
+                                  opt_state=got["opt_state"])
+        return new_state, int(got["epoch"]), float(got["best_score"])
+
+    def exists(self, tag: str) -> bool:
+        return os.path.isdir(self._path(tag))
+
+    def save_params(self, tag: str, params: Any) -> None:
+        self._ckptr.save(self._path(tag), params, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore_params(self, tag: str, template: Any) -> Any:
+        return self._ckptr.restore(self._path(tag), template)
+
+
+def transfer_encoder_params(seq2seq_params: Dict[str, Any],
+                            fcmf_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Phase-1 -> Phase-2 knowledge transfer (run_multimodal_fcmf.py:382-412).
+
+    Copies the `encoder` subtree of FCMFSeq2Seq params into the FCMF
+    classifier params (strict=False semantics: head params keep their fresh
+    init), and materializes the seq2seq's externally-tied `shared_embedding`
+    as the classifier's internal word-embedding table.
+    """
+    import flax
+    out = flax.core.unfreeze(jax.tree_util.tree_map(lambda x: x, fcmf_params))
+    src_enc = seq2seq_params["encoder"]
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    merge(out["encoder"], flax.core.unfreeze(src_enc))
+    # tie-back: Phase-1 kept the token table outside the bert subtree
+    if "shared_embedding" in seq2seq_params:
+        emb = out["encoder"]["bert"].setdefault("embeddings", {})
+        table = np.asarray(seq2seq_params["shared_embedding"])
+        target = out["encoder"]["bert"]["embeddings"].get(
+            "word_embeddings", {}).get("embedding")
+        if target is not None and target.shape[0] != table.shape[0]:
+            table = resize_embedding(table, target.shape[0])
+        emb["word_embeddings"] = {"embedding": table}
+    return out
+
+
+def resize_embedding(table: np.ndarray, new_size: int,
+                     init_std: float = 0.02, seed: int = 0) -> np.ndarray:
+    """HF resize_token_embeddings equivalent (fcmf_pretraining.py:159-160):
+    truncate or extend with normal(0.02) rows."""
+    table = np.asarray(table)
+    if new_size <= table.shape[0]:
+        return table[:new_size]
+    extra = np.random.default_rng(seed).normal(
+        0.0, init_std, size=(new_size - table.shape[0], table.shape[1]))
+    return np.concatenate([table, extra.astype(table.dtype)], axis=0)

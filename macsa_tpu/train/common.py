@@ -1,0 +1,120 @@
+"""Shared driver plumbing: metadata loading, text normalization, tokenizer,
+model/param construction with pretrained-weight import.
+
+Mirrors the reference's driver preamble (reference:
+run_multimodal_fcmf.py:170-244): tokenizer, roi_data.csv (+'.png' suffix),
+the two offline label JSONs (hard prerequisites — explicit errors if missing,
+:188-199), train/dev/test JSON with comment normalization, model + two ResNet
+feature extractors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from macsa_tpu.config import FCMFConfig, ResNetConfig, TextEncoderConfig
+from macsa_tpu.data.images import roi_boxes_from_csv
+from macsa_tpu.data.text_preprocess import TextNormalize, convert_unicode
+
+
+def normalize_comment(text: str, normalizer: Optional[TextNormalize] = None) -> str:
+    """convert_unicode -> (underthesea text_normalize when available) ->
+    TextNormalize.normalize — the reference's chain
+    (run_multimodal_fcmf.py:204-205)."""
+    normalizer = normalizer or TextNormalize()
+    text = convert_unicode(text)
+    try:  # optional external dependency; identity when absent
+        from underthesea import text_normalize as uts_normalize
+        text = uts_normalize(text)
+    except ImportError:
+        pass
+    return normalizer.normalize(text)
+
+
+def load_records(path: str, normalize: bool = True) -> List[Dict[str, Any]]:
+    """A {column: {row: value}} or list-of-dicts JSON -> list of records."""
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):  # pandas orient='columns'
+        cols = list(data.keys())
+        row_keys = list(next(iter(data.values())).keys())
+        records = [{c: data[c][rk] for c in cols} for rk in row_keys]
+    else:
+        records = list(data)
+    if normalize:
+        tn = TextNormalize()
+        for rec in records:
+            rec["comment"] = normalize_comment(rec.get("comment", ""), tn)
+    return records
+
+
+def load_metadata(data_dir: str):
+    """-> (roi_boxes, dict_image_aspect, dict_roi_aspect).
+
+    Required-file validation with explicit errors, like the reference
+    (run_multimodal_fcmf.py:181-199)."""
+    roi_csv = os.path.join(data_dir, "roi_data.csv")
+    if not os.path.exists(roi_csv):
+        raise ValueError(f"Can't find roi_data.csv under {data_dir}")
+    roi_boxes = roi_boxes_from_csv(roi_csv)
+
+    img_json = os.path.join(data_dir, "resnet152_image_label.json")
+    roi_json = os.path.join(data_dir, "resnet152_roi_label.json")
+    if not (os.path.exists(img_json) and os.path.exists(roi_json)):
+        raise ValueError(
+            "Get image/roi aspect category first. Please run "
+            "tools/image_categories.py or tools/roi_categories.py")
+    with open(img_json) as f:
+        dict_image_aspect = json.load(f)
+    with open(roi_json) as f:
+        dict_roi_aspect = json.load(f)
+    return roi_boxes, dict_image_aspect, dict_roi_aspect
+
+
+def load_tokenizer(pretrained_path: str):
+    from transformers import AutoTokenizer
+    return AutoTokenizer.from_pretrained(pretrained_path, local_files_only=True)
+
+
+def build_text_config(pretrained_path: Optional[str],
+                      dtype: str = "bfloat16") -> TextEncoderConfig:
+    if pretrained_path and os.path.exists(os.path.join(pretrained_path,
+                                                       "config.json")):
+        with open(os.path.join(pretrained_path, "config.json")) as f:
+            return TextEncoderConfig.from_hf_config(json.load(f), dtype=dtype)
+    return TextEncoderConfig(dtype=dtype)
+
+
+def import_text_params(params: Dict[str, Any], pretrained_path: str,
+                       logger=None) -> Dict[str, Any]:
+    """Load HF backbone weights into FCMF params['encoder']['bert'] in place
+    (returns a new tree).  Random init is kept when no weight file exists."""
+    from macsa_tpu.models.text_encoder import load_hf_checkpoint
+    import flax
+    try:
+        _, bert_params = load_hf_checkpoint(pretrained_path)
+    except (FileNotFoundError, OSError) as e:
+        if logger:
+            logger.warning(f"no HF weights under {pretrained_path} ({e}); "
+                           "keeping random init")
+        return params
+    out = flax.core.unfreeze(params)
+    out["encoder"]["bert"] = bert_params
+    return out
+
+
+def import_resnet_params(visual_params: Dict[str, Any],
+                         weights_path: Optional[str], logger=None):
+    """torchvision resnet152 state-dict file -> VisualFeatures params."""
+    if not weights_path or not os.path.exists(weights_path):
+        if logger:
+            logger.warning("no torchvision resnet weights; keeping random init")
+        return visual_params
+    import torch
+    from macsa_tpu.models.resnet import import_torchvision_resnet
+    sd = torch.load(weights_path, map_location="cpu")
+    return {"params": import_torchvision_resnet(sd)}

