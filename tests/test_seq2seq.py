@@ -1,0 +1,103 @@
+"""FCMFSeq2Seq tests: teacher-forcing loss semantics, weight tying through
+the shared table, greedy decode, and beam search (beam=1 == greedy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macsa_tpu.config import (DecoderConfig, FCMFConfig, ModelConfig,
+                              TextEncoderConfig)
+from macsa_tpu.models.seq2seq import FCMFSeq2Seq, seq2seq_loss
+
+VOCAB = 64
+MODEL = ModelConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+                    intermediate_size=32, hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0)
+TEXT = TextEncoderConfig(vocab_size=VOCAB, hidden_size=32, num_hidden_layers=1,
+                         num_attention_heads=4, intermediate_size=32,
+                         max_position_embeddings=64, hidden_dropout_prob=0.0,
+                         attention_probs_dropout_prob=0.0)
+CFG = FCMFConfig(model=MODEL, text=TEXT, num_imgs=2, num_roi=2, num_patches=4,
+                 visual_feat_dim=16, max_text_len=10, box_heads=4)
+DEC = DecoderConfig(vocab_size=VOCAB, hidden_size=32, num_blocks=1, num_heads=4,
+                    ffn_hidden=32, max_decode_len=5, dropout=0.0)
+B, L, T = 2, 10, 5
+BOS, EOS = 0, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    model = FCMFSeq2Seq(CFG, DEC)
+    enc_ids = jnp.asarray(rng.integers(3, VOCAB, size=(B, L)).astype(np.int32))
+    dec_ids = jnp.asarray(rng.integers(3, VOCAB, size=(B, T)).astype(np.int32))
+    vis = jnp.asarray(rng.normal(size=(B, 2, 4, 16)).astype(np.float32))
+    roi = jnp.asarray(rng.normal(size=(B, 2, 2, 16)).astype(np.float32))
+    coors = jnp.asarray(rng.uniform(0, 1, size=(B, 2, 2, 4)).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    added = jnp.ones((B, L + 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), enc_ids, dec_ids, vis, roi,
+                        coors, None, mask, added)
+    return model, params, enc_ids, dec_ids, vis, roi, coors, mask, added
+
+
+def test_teacher_forcing_and_loss(setup):
+    model, params, enc_ids, dec_ids, vis, roi, coors, mask, added = setup
+    logits = model.apply(params, enc_ids, dec_ids, vis, roi, coors, None,
+                         mask, added)
+    assert logits.shape == (B, T, VOCAB)
+    labels = np.roll(np.asarray(dec_ids), -1, axis=1)
+    labels[:, -1] = -100
+    loss = seq2seq_loss(logits, jnp.asarray(labels))
+    assert np.isfinite(float(loss))
+    # fully-ignored labels -> zero loss
+    assert float(seq2seq_loss(logits, jnp.full_like(dec_ids, -100))) == 0.0
+
+
+def test_shared_embedding_drives_logits(setup):
+    model, params, enc_ids, dec_ids, vis, roi, coors, mask, added = setup
+    import flax
+    p2 = flax.core.unfreeze(params)
+    p2["params"]["shared_embedding"] = p2["params"]["shared_embedding"] * 2.0
+    l1 = model.apply(params, enc_ids, dec_ids, vis, roi, coors, None, mask, added)
+    l2 = model.apply(p2, enc_ids, dec_ids, vis, roi, coors, None, mask, added)
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+    # the bert subtree must not define its own word embeddings (tied externally)
+    assert "word_embeddings" not in params["params"]["encoder"]["bert"]["embeddings"]
+
+
+def test_greedy_decode(setup):
+    model, params, enc_ids, dec_ids, vis, roi, coors, mask, added = setup
+    tokens = model.apply(params, enc_ids, vis, roi, coors, BOS, EOS,
+                         None, mask, added, method=FCMFSeq2Seq.greedy_decode)
+    assert tokens.shape == (B, DEC.max_decode_len)
+    assert tokens.dtype == jnp.int32
+
+
+def test_beam1_matches_greedy(setup):
+    model, params, enc_ids, dec_ids, vis, roi, coors, mask, added = setup
+    greedy = np.asarray(model.apply(params, enc_ids, vis, roi, coors, BOS, EOS,
+                                    None, mask, added,
+                                    method=FCMFSeq2Seq.greedy_decode))
+    seqs, scores = model.apply(params, enc_ids, vis, roi, coors, BOS, EOS, 1,
+                               None, mask, added,
+                               method=FCMFSeq2Seq.beam_decode)
+    seqs = np.asarray(seqs)
+    # identical until (and including) the first EOS of each row
+    for b in range(B):
+        g = greedy[b]
+        s = seqs[b]
+        end = np.where(g == EOS)[0]
+        end = int(end[0]) + 1 if len(end) else len(g)
+        np.testing.assert_array_equal(s[:end], g[:end])
+
+
+def test_beam_scores_are_ordered_vs_greedy(setup):
+    """Beam-3's best score must be >= beam-1's score (wider search)."""
+    model, params, enc_ids, dec_ids, vis, roi, coors, mask, added = setup
+    _, s1 = model.apply(params, enc_ids, vis, roi, coors, BOS, EOS, 1,
+                        None, mask, added, method=FCMFSeq2Seq.beam_decode)
+    _, s3 = model.apply(params, enc_ids, vis, roi, coors, BOS, EOS, 3,
+                        None, mask, added, method=FCMFSeq2Seq.beam_decode)
+    assert np.all(np.asarray(s3) >= np.asarray(s1) - 1e-4)
