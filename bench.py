@@ -23,6 +23,10 @@ def make_batch(rng, cfg, b, a=6):
     import jax.numpy as jnp
     l = cfg.max_text_len
     return {
+        # float32 pixels: uint8 elementwise compute is ~120x slower on this
+        # TPU stack (see macsa_tpu.ops.image_prep docs), so the bench uses the
+        # default float path; uint8 transfer stays an opt-in for
+        # host-link-bound deployments.
         "images": jnp.asarray(rng.normal(size=(b, cfg.num_imgs, 224, 224, 3))
                               .astype(np.float32)),
         "roi_images": jnp.asarray(
@@ -87,12 +91,14 @@ def main():
     state, metrics = step(state, batch, key)
     jax.block_until_ready(metrics["loss"])
 
-    # block every step: on this platform a tail-only block_until_ready
-    # under-reports (async dispatch artifact)
+    # Force a HOST fetch of the loss every step: on this platform (axon
+    # tunnel) block_until_ready resolves early, so only a device->host scalar
+    # transfer gives honest wall-clock (verified: block_until_ready-timed
+    # loops report >1000x the FLOP roofline).
     t0 = time.time()
     for _ in range(steps):
         state, metrics = step(state, batch, key)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
     dt = time.time() - t0
 
     samples_per_s = batch_size * steps / dt

@@ -130,6 +130,9 @@ class FCMFConfig:
     # enc_len) regardless of its values (mm_modeling.py:115-118,607-610).
     # "causal_quirk" = faithful; "padding" = use the mask as a padding mask.
     decoder_cross_mask_mode: str = "causal_quirk"
+    # fuse the geometric ROI attention into a Pallas kernel
+    # (macsa_tpu.ops.box_attention_kernel); eval/no-dropout paths only
+    use_pallas_box_attention: bool = False
 
     @property
     def num_visual_tokens(self) -> int:

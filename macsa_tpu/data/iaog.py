@@ -74,6 +74,7 @@ class IAOGDataset:
     num_patches: int = 49
     max_len_decoder: int = 20
     load_images: bool = True
+    uint8_images: bool = False
 
     def __post_init__(self):
         self.samples = []
@@ -117,7 +118,7 @@ class IAOGDataset:
         if self.load_images:
             images, rois, coors = build_visual_tensors(
                 img_names, self.img_folder, self.roi_boxes,
-                self.num_img, self.num_roi)
+                self.num_img, self.num_roi, uint8=self.uint8_images)
             out["images"] = images
             out["roi_images"] = rois
             out["roi_coors"] = coors

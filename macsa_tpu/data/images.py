@@ -35,16 +35,19 @@ def decode_image(path: str) -> Optional[np.ndarray]:
         return None
 
 
-def resize_normalize(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
-    """uint8 HWC -> normalized float32 [size, size, 3].
-
-    Uses PIL bilinear+antialias resize (the semantics of torchvision
-    Resize(antialias=True))."""
+def resize_u8(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
+    """uint8 HWC -> uint8 [size, size, 3] via PIL bilinear+antialias resize
+    (the semantics of torchvision Resize(antialias=True))."""
     from PIL import Image
     if img.shape[0] != size or img.shape[1] != size:
         pil = Image.fromarray(img)
         img = np.asarray(pil.resize((size, size), Image.BILINEAR), np.uint8)
-    x = img.astype(np.float32) / 255.0
+    return img
+
+
+def resize_normalize(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
+    """uint8 HWC -> normalized float32 [size, size, 3]."""
+    x = resize_u8(img, size).astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
@@ -74,26 +77,32 @@ def build_visual_tensors(
     num_img: int,
     num_roi: int,
     size: int = IMAGE_SIZE,
+    uint8: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (images [num_img, S, S, 3], roi_images [num_img, num_roi, S, S, 3],
     roi_coors [num_img, num_roi, 4]), zero-padded.
 
-    Mirrors vimacsa_dataset.py:123-199 / iaog_dataset.py:113-153."""
-    images = np.zeros((num_img, size, size, 3), np.float32)
-    rois = np.zeros((num_img, num_roi, size, size, 3), np.float32)
+    Mirrors vimacsa_dataset.py:123-199 / iaog_dataset.py:113-153.
+    With `uint8=True`, normalization is deferred to the device
+    (macsa_tpu.ops.image_prep.device_normalize) and raw uint8 pixels are
+    returned — 4x less host memory and host->device traffic."""
+    pix = np.uint8 if uint8 else np.float32
+    prep = resize_u8 if uint8 else resize_normalize
+    images = np.zeros((num_img, size, size, 3), pix)
+    rois = np.zeros((num_img, num_roi, size, size, 3), pix)
     coors = np.zeros((num_img, num_roi, 4), np.float32)
 
     for i, name in enumerate(list(img_paths)[:num_img]):
         raw = decode_image(os.path.join(img_folder, name))
         if raw is not None:
-            images[i] = resize_normalize(raw, size)
+            images[i] = prep(raw, size)
         boxes = roi_boxes.get(name, [])[:num_roi]
         if raw is None or not boxes:
             continue
         for r, box in enumerate(boxes):
             crop = crop_roi(raw, box)
             if crop is not None:
-                rois[i, r] = resize_normalize(crop, size)
+                rois[i, r] = prep(crop, size)
             coors[i, r] = normalize_coords(box)
     return images, rois, coors
 

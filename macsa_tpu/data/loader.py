@@ -15,6 +15,7 @@ SURVEY.md §2.4) with a single `shard(num_hosts, host_id)` slice.
 
 from __future__ import annotations
 
+import copy
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -25,6 +26,45 @@ import numpy as np
 Batch = Dict[str, np.ndarray]
 
 _ARRAY_KEYS_EXCLUDED = ("text", "target_aspect")
+
+
+class ThreadSafeTokenizer:
+    """Per-thread tokenizer copies.
+
+    HF *fast* tokenizers are not thread-safe (concurrent encode raises
+    `RuntimeError: Already borrowed` from the Rust core); the loader's worker
+    pool calls dataset.__getitem__ concurrently, so each worker thread gets
+    its own lazily-deepcopied tokenizer.  Falls back to a lock if the
+    tokenizer cannot be deepcopied."""
+
+    def __init__(self, tokenizer):
+        self._base = tokenizer
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
+    def _get(self):
+        tok = getattr(self._local, "tok", None)
+        if tok is None:
+            try:
+                tok = copy.deepcopy(self._base)
+            except Exception:
+                tok = None  # un-copyable: serialize through the lock
+            self._local.tok = tok if tok is not None else False
+            return self._local.tok
+        return tok
+
+    def __call__(self, *args, **kwargs):
+        tok = self._get()
+        if tok is False:
+            with self._lock:
+                return self._base(*args, **kwargs)
+        return tok(*args, **kwargs)
+
+    def __getattr__(self, name):  # pad_token_id, decode, ...
+        return getattr(self._base, name)
+
+    def __len__(self):
+        return len(self._base)
 
 
 def collate(samples: Sequence[Dict[str, Any]]) -> Batch:
@@ -88,14 +128,17 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
+            # Any worker exception is forwarded to the consumer and re-raised
+            # there — a silently-truncated epoch is a correctness bug.
             try:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self._get, idxs))
                     q.put(collate(samples))
-            finally:
                 q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -104,6 +147,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

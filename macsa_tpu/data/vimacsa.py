@@ -108,6 +108,7 @@ class MACSADataset:
     max_text_len: int = 170
     num_patches: int = 49
     load_images: bool = True
+    uint8_images: bool = False
 
     def __len__(self) -> int:
         return len(self.records)
@@ -128,7 +129,7 @@ class MACSADataset:
         if self.load_images:
             images, rois, coors = build_visual_tensors(
                 img_names, self.img_folder, self.roi_boxes,
-                self.num_img, self.num_roi)
+                self.num_img, self.num_roi, uint8=self.uint8_images)
             views["images"] = images
             views["roi_images"] = rois
             views["roi_coors"] = coors

@@ -79,6 +79,9 @@ class BoxMultiHeadedAttention(nn.Module):
     legacy_extra_skip: bool = False
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # fuse score+log-gate+softmax+PV into one Pallas kernel
+    # (macsa_tpu.ops.box_attention_kernel); used when no mask/dropout applies
+    use_pallas_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -113,6 +116,18 @@ class BoxMultiHeadedAttention(nn.Module):
         # (reference: roi_modeling.py:74,161-163 — a Python loop of Linear(64,1)).
         wg = nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name="wg")(geo)
         w_g = jax.nn.relu(wg).transpose(0, 3, 1, 2)  # [B, h, N, N]
+
+        drop_active = self.dropout_rate > 0.0 and not deterministic
+        if self.use_pallas_kernel and mask is None and not drop_active:
+            from macsa_tpu.ops.box_attention_kernel import fused_box_attention
+            b, _, n, dk = q.shape
+            fold = lambda x: x.reshape(b * h, *x.shape[2:])
+            out = fused_box_attention(fold(q), fold(k), fold(v), fold(w_g))
+            out = out.reshape(b, h, n, dk).transpose(0, 2, 1, 3).reshape(
+                b, n, d_model).astype(self.dtype)
+            if self.legacy_extra_skip:
+                out = value + out
+            return dense("out_proj")(out)
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         scores = scores / math.sqrt(d_k)

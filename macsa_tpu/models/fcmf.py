@@ -61,7 +61,8 @@ class FCMFEncoder(nn.Module):
                                     param_dtype=jnp.float32, kernel_init=init)
         self.box_head = BoxMultiHeadedAttention(
             num_heads=cfg.box_heads, d_model=mc.hidden_size,
-            dropout_rate=mc.attention_probs_dropout_prob, dtype=mc.jnp_dtype)
+            dropout_rate=mc.attention_probs_dropout_prob, dtype=mc.jnp_dtype,
+            use_pallas_kernel=cfg.use_pallas_box_attention)
         self.text2img_attention = layers.BertCrossEncoder(mc)
         self.text2img_pooler = layers.TokenPooler(mc, token_index=0)
         self.text2roi_pooler = layers.TokenPooler(mc, token_index=0)

@@ -76,8 +76,12 @@ def load_metadata(data_dir: str):
 
 
 def load_tokenizer(pretrained_path: str):
+    """HF tokenizer wrapped for the loader's thread pool (fast tokenizers
+    raise `Already borrowed` under concurrent encode)."""
     from transformers import AutoTokenizer
-    return AutoTokenizer.from_pretrained(pretrained_path, local_files_only=True)
+    from macsa_tpu.data.loader import ThreadSafeTokenizer
+    return ThreadSafeTokenizer(
+        AutoTokenizer.from_pretrained(pretrained_path, local_files_only=True))
 
 
 def build_text_config(pretrained_path: Optional[str],

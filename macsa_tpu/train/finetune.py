@@ -64,6 +64,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune_cnn", action="store_true")
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
                    choices=["causal_quirk", "padding"])
+    p.add_argument("--uint8_transfer", action="store_true", default=False,
+                   help="ship raw uint8 pixels (4x less host->device traffic); "
+                        "NOTE: uint8 elementwise compute is very slow on some "
+                        "TPU stacks — enable only when the host link is the "
+                        "bottleneck")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--log_every", type=int, default=20)
     return p
@@ -109,7 +114,8 @@ def main(argv: Optional[list] = None) -> dict:
         return MACSADataset(records, tokenizer, args.image_dir, roi_boxes,
                             dict_img, dict_roi, num_img=args.num_imgs,
                             num_roi=args.num_rois,
-                            max_text_len=args.max_seq_length)
+                            max_text_len=args.max_seq_length,
+                            uint8_images=args.uint8_transfer)
 
     # --- model & params -------------------------------------------------
     model = FCMF(cfg)
@@ -165,7 +171,6 @@ def main(argv: Optional[list] = None) -> dict:
         accumulate_steps=args.gradient_accumulation_steps)
     if args.freeze_encoder:
         import optax
-        from macsa_tpu.train.optim import make_adamw as _   # noqa: F401
         # zero out encoder updates (run_multimodal_fcmf.py:230-236)
         def label(p):
             return jax.tree_util.tree_map_with_path(

@@ -56,6 +56,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
                    choices=["causal_quirk", "padding"])
+    p.add_argument("--uint8_transfer", action="store_true", default=False)
     p.add_argument("--beam_size", type=int, default=3)
     p.add_argument("--debug_decode_every", type=int, default=10,
                    help="decode 2 samples every N steps (reference :340-372)")
@@ -131,7 +132,8 @@ def main(argv: Optional[list] = None) -> dict:
                            dict_img, dict_roi, num_img=args.num_imgs,
                            num_roi=args.num_rois,
                            max_text_len=args.max_seq_length,
-                           max_len_decoder=args.max_len_decoder)
+                           max_len_decoder=args.max_len_decoder,
+                           uint8_images=args.uint8_transfer)
 
     model = FCMFSeq2Seq(cfg, dec_cfg)
     visual = VisualFeatures(rcfg)
@@ -188,6 +190,34 @@ def main(argv: Optional[list] = None) -> dict:
     state = replicate(state, mesh)
     train_step = make_pretrain_train_step(model, visual, mesh=mesh)
 
+    # In-training debug decoding (run_pretraining_fcmf.py:340-372): every N
+    # steps, greedy-decode 2 samples and log prediction vs label.
+    bos_id = tokenizer.bos_token_id or tokenizer.cls_token_id or 0
+    eos_id = tokenizer.eos_token_id or tokenizer.sep_token_id or 2
+
+    @jax.jit
+    def _debug_decode(params, visual_params, batch2):
+        grid, roi = extract_visual(visual, visual_params, batch2["images"],
+                                   batch2["roi_images"],
+                                   out_dtype=cfg.model.jnp_dtype)
+        return model.apply(
+            {"params": params}, batch2["enc_input_ids"], grid, roi,
+            batch2["roi_coors"], bos_id, eos_id,
+            None, batch2["attention_mask"], batch2["added_mask"],
+            args.max_len_decoder, method=FCMFSeq2Seq.greedy_decode)
+
+    def debug_decode(batch, texts):
+        two = {k: v[:2] for k, v in batch.items()}
+        seqs = np.asarray(_debug_decode(state.params, state.visual_params, two))
+        for j in range(min(2, seqs.shape[0])):
+            pred = tokenizer.decode([t for t in seqs[j] if t != eos_id],
+                                    skip_special_tokens=True)
+            label_ids = [t for t in np.asarray(batch["dec_input_ids"][j])
+                         if t != tokenizer.pad_token_id]
+            label = tokenizer.decode(label_ids, skip_special_tokens=True)
+            src = texts[j][:60] if texts else ""
+            logger.info(f"  [debug] src='{src}' pred='{pred}' label='{label}'")
+
     result = {}
     if args.do_train:
         loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
@@ -214,9 +244,12 @@ def main(argv: Optional[list] = None) -> dict:
                     writer.write(int(state.step), loss=float(metrics["loss"]),
                                  token_accuracy=float(metrics["token_accuracy"]),
                                  samples_per_s=rate, epoch=epoch)
+                if args.debug_decode_every and \
+                        (i + 1) % args.debug_decode_every == 0:
+                    debug_decode(batch, texts)
             mean_loss = ep_loss / max(n, 1)
-            logger.info(f"epoch {epoch} mean loss {mean_loss:.4f}")
-            if mean_loss < best_loss:
+            logger.info(f"epoch {epoch} mean loss {mean_loss:.4f} ({n} steps)")
+            if n > 0 and mean_loss < best_loss:
                 best_loss = mean_loss
                 ckpt.save("best", state, epoch + 1, -best_loss)
             ckpt.save("last", state, epoch + 1, -best_loss)

@@ -43,7 +43,13 @@ def extract_visual(visual: VisualFeatures, visual_params, images: Array,
     (grid [B,I,49,2048], roi [B,I,R,2048]).
 
     One batched conv stack each — the reference runs 7 + 7xR separate
-    ResNet-152 forwards per step (run_multimodal_fcmf.py:448-460)."""
+    ResNet-152 forwards per step (run_multimodal_fcmf.py:448-460).
+    uint8 inputs are normalized on device (macsa_tpu.ops.image_prep) — the
+    host ships 1 byte/pixel instead of the reference's float32."""
+    from macsa_tpu.ops.image_prep import device_normalize
+    conv_dtype = jnp.dtype(visual.config.dtype)
+    images = device_normalize(images, conv_dtype)
+    roi_images = device_normalize(roi_images, conv_dtype)
     grid = visual.apply(visual_params, images, method=VisualFeatures.grid_features)
     roi = visual.apply(visual_params, roi_images,
                        method=VisualFeatures.pooled_features)

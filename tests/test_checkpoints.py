@@ -1,0 +1,96 @@
+"""Checkpoint tests: orbax save/restore round-trip with optimizer state and
+epoch/best bookkeeping, Phase-1 -> Phase-2 encoder transfer semantics, and
+embedding resize."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macsa_tpu.train.checkpoints import (
+    CheckpointManager,
+    resize_embedding,
+    transfer_encoder_params,
+)
+from macsa_tpu.train.optim import make_adamw
+from macsa_tpu.train.state import TrainState
+
+
+def _tiny_state(seed=0):
+    rng = np.random.default_rng(seed)
+    params = {"encoder": {"dense": {"kernel": jnp.asarray(
+        rng.normal(size=(4, 4)).astype(np.float32))}},
+        "classifier": {"kernel": jnp.asarray(
+            rng.normal(size=(4, 2)).astype(np.float32))}}
+    visual = {"conv": {"kernel": jnp.asarray(
+        rng.normal(size=(3, 3)).astype(np.float32))}}
+    tx = make_adamw(1e-3)
+    return TrainState.create(params, visual, tx)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = _tiny_state()
+    # advance the state so opt_state is non-trivial
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads)
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("best", state, epoch=3, best_score=0.71)
+    assert mgr.exists("best")
+    assert not mgr.exists("last")
+
+    fresh = _tiny_state(seed=99)
+    restored, epoch, best = mgr.restore("best", fresh)
+    assert epoch == 3
+    assert best == pytest.approx(0.71, abs=1e-6)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transfer_encoder_params():
+    """encoder subtree copied, head params untouched, shared embedding
+    materialized into bert word embeddings (run_multimodal_fcmf.py:382-412)."""
+    rng = np.random.default_rng(0)
+    seq2seq = {
+        "shared_embedding": rng.normal(size=(10, 4)).astype(np.float32),
+        "encoder": {
+            "bert": {"embeddings": {"LayerNorm": {"scale": np.ones(4)}}},
+            "vismap2text": {"kernel": rng.normal(size=(8, 4)).astype(np.float32)},
+        },
+        "decoder": {"block_0": {"w_kx": np.zeros((2, 4, 2))}},
+    }
+    fcmf = {
+        "encoder": {
+            "bert": {"embeddings": {
+                "word_embeddings": {"embedding": np.zeros((10, 4), np.float32)},
+                "LayerNorm": {"scale": np.zeros(4)}}},
+            "vismap2text": {"kernel": np.zeros((8, 4), np.float32)},
+        },
+        "text_pooler": {"dense": {"kernel": np.full((4, 4), 7.0)}},
+        "classifier": {"kernel": np.full((4, 4), 9.0)},
+    }
+    out = transfer_encoder_params(seq2seq, fcmf)
+    np.testing.assert_array_equal(out["encoder"]["vismap2text"]["kernel"],
+                                  seq2seq["encoder"]["vismap2text"]["kernel"])
+    np.testing.assert_array_equal(
+        out["encoder"]["bert"]["embeddings"]["word_embeddings"]["embedding"],
+        seq2seq["shared_embedding"])
+    # strict=False: head params keep their fresh values
+    np.testing.assert_array_equal(out["classifier"]["kernel"],
+                                  fcmf["classifier"]["kernel"])
+    # decoder is dropped entirely (Phase-2 has none)
+    assert "decoder" not in out
+
+
+def test_resize_embedding():
+    table = np.arange(12, dtype=np.float32).reshape(6, 2)
+    smaller = resize_embedding(table, 4)
+    np.testing.assert_array_equal(smaller, table[:4])
+    bigger = resize_embedding(table, 9)
+    assert bigger.shape == (9, 2)
+    np.testing.assert_array_equal(bigger[:6], table)

@@ -176,3 +176,55 @@ def test_loader_host_sharding():
     xs_a = {int(batch["x"][i, 0]) for batch in a for i in range(2)}
     xs_b = {int(batch["x"][i, 0]) for batch in b for i in range(2)}
     assert xs_a == {0, 1, 2, 3} and xs_b == {4, 5, 6, 7}
+
+
+def test_loader_propagates_worker_exceptions():
+    """A failing sample must raise in the consumer, not silently truncate the
+    epoch (regression: tokenizer races used to end epochs at 0 steps)."""
+    class PoisonDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("poison")
+            return {"x": np.asarray([i], np.int32)}
+
+    dl = DataLoader(PoisonDS(), batch_size=2, num_workers=4)
+    with pytest.raises(RuntimeError, match="poison"):
+        list(dl)
+
+
+def test_thread_safe_tokenizer_concurrent():
+    """ThreadSafeTokenizer serializes/copies a thread-unsafe tokenizer."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from macsa_tpu.data.loader import ThreadSafeTokenizer
+
+    class UnsafeTok:
+        """Raises if two threads are inside __call__ at once (the HF fast
+        tokenizer 'Already borrowed' failure mode)."""
+        pad_token_id = 1
+
+        def __init__(self):
+            self._busy = threading.Lock()
+
+        def __call__(self, text, **kw):
+            if not self._busy.acquire(blocking=False):
+                raise RuntimeError("Already borrowed")
+            try:
+                import time
+                time.sleep(0.001)
+                return {"input_ids": [0, len(text), 2]}
+            finally:
+                self._busy.release()
+
+        def __len__(self):
+            return 10
+
+    tok = ThreadSafeTokenizer(UnsafeTok())
+    pool = ThreadPoolExecutor(max_workers=8)
+    results = list(pool.map(lambda i: tok(f"t{i}"), range(64)))
+    assert len(results) == 64
+    assert tok.pad_token_id == 1 and len(tok) == 10

@@ -1,0 +1,66 @@
+"""Pallas ops tests (interpret mode on CPU): uint8 normalize kernel and the
+fused box-bias attention — forward vs unfused XLA reference, and the custom
+VJP vs autodiff of the reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from macsa_tpu.ops.box_attention_kernel import (
+    box_attention_reference,
+    fused_box_attention,
+)
+from macsa_tpu.ops.image_prep import (
+    normalize_images_u8,
+    normalize_images_u8_reference,
+)
+
+
+def test_normalize_kernel_matches_reference(rng):
+    imgs = rng.integers(0, 256, size=(2, 3, 17, 19, 3)).astype(np.uint8)
+    got = np.asarray(normalize_images_u8(jnp.asarray(imgs), jnp.float32,
+                                         interpret=True))
+    want = np.asarray(normalize_images_u8_reference(jnp.asarray(imgs),
+                                                    jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_normalize_kernel_odd_sizes(rng):
+    # total elements not a multiple of the block: padding path
+    imgs = rng.integers(0, 256, size=(1, 5, 7, 3)).astype(np.uint8)
+    got = np.asarray(normalize_images_u8(jnp.asarray(imgs), jnp.float32,
+                                         interpret=True))
+    want = np.asarray(normalize_images_u8_reference(jnp.asarray(imgs),
+                                                    jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def _inputs(rng, bh=3, n=4, d=96):
+    q = rng.normal(size=(bh, n, d)).astype(np.float32)
+    k = rng.normal(size=(bh, n, d)).astype(np.float32)
+    v = rng.normal(size=(bh, n, d)).astype(np.float32)
+    gates = np.maximum(rng.normal(size=(bh, n, n)), 0).astype(np.float32)
+    return map(jnp.asarray, (q, k, v, gates))
+
+
+def test_fused_box_attention_forward(rng):
+    q, k, v, gates = _inputs(rng)
+    got = np.asarray(fused_box_attention(q, k, v, gates, True))
+    want = np.asarray(box_attention_reference(q, k, v, gates))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_box_attention_grad(rng):
+    q, k, v, gates = _inputs(rng, bh=2, n=4, d=8)
+
+    def loss_fused(q, k, v, g):
+        return jnp.sum(fused_box_attention(q, k, v, g, True) ** 2)
+
+    def loss_ref(q, k, v, g):
+        return jnp.sum(box_attention_reference(q, k, v, g) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, gates)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, gates)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
