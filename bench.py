@@ -6,6 +6,18 @@ Measures full training-step throughput — batched ResNet-152 visual extraction
 reference's headline throughput metric (BASELINE.md: 7.1 pairs/s on a Kaggle
 GPU at fp16, batch 2).
 
+Timing method (axon tunnel quirks, measured 2026-08-16):
+* `block_until_ready` is broken on the axon plugin — it returns before the
+  computation finishes (tail-only block timing once reported >1000x the FLOP
+  roofline).
+* A per-step host fetch of the loss is honest but hostage to the tunnel's
+  round-trip latency, which swings from ~40 ms to multiple seconds — the
+  same step measured 255 ms and 4.2 s minutes apart.
+* So: run N *chained* steps (each step's state feeds the next) and fetch one
+  scalar at the end.  The final loss *value* physically depends on every
+  prior step, so the fetch cannot complete early — this lower-bounds device
+  time by construction and adds only one RTT, amortized over N steps.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -44,9 +56,39 @@ def make_batch(rng, cfg, b, a=6):
     }
 
 
+def fast_init(fn, *args, seed=0):
+    """Materialize `fn(key, *args)`'s param pytree from shapes only.
+
+    Full flax init runs the whole forward on device (~minutes through the
+    tunnel for ResNet-152 + FCMF); the bench only needs *shaped* params —
+    MXU time is not data-dependent — so build them host-side from
+    jax.eval_shape and ship once.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(fn, jax.random.PRNGKey(seed), *args)
+    rng = np.random.default_rng(seed)
+
+    def mk(path, s):
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        if not np.issubdtype(np.dtype(s.dtype), np.floating):
+            return jnp.zeros(s.shape, s.dtype)
+        if name in ("scale", "var"):        # LayerNorm / BN multipliers
+            return jnp.ones(s.shape, s.dtype)
+        if name in ("bias", "mean"):
+            return jnp.zeros(s.shape, s.dtype)
+        return jnp.asarray(rng.standard_normal(s.shape).astype(s.dtype) * 0.02)
+
+    return jax.tree_util.tree_map_with_path(mk, shapes)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE", "/root/.cache/jax_comp"))
 
     from macsa_tpu.config import FCMFConfig, ModelConfig, ResNetConfig, TextEncoderConfig
     from macsa_tpu.models.fcmf import FCMF
@@ -56,7 +98,7 @@ def main():
     from macsa_tpu.train.steps import extract_visual, make_finetune_train_step
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16"),
                      text=TextEncoderConfig(dtype="bfloat16"))
@@ -66,45 +108,49 @@ def main():
     rng = np.random.default_rng(0)
     batch = make_batch(rng, cfg, batch_size)
 
-    key = jax.random.PRNGKey(0)
     t0 = time.time()
-    visual_params = visual.init(key, batch["images"][:1, :1])
-    grid, roi = extract_visual(visual, visual_params, batch["images"][:1],
-                               batch["roi_images"][:1])
-    params = model.init(key, batch["input_ids"][:1, 0], grid, roi,
-                        batch["roi_coors"][:1], None,
-                        batch["attention_mask"][:1, 0],
-                        batch["added_mask"][:1, 0])["params"]
+    visual_params = fast_init(visual.init, batch["images"][:1, :1])
+    grid, roi = jax.eval_shape(
+        lambda vp, im, ri: extract_visual(visual, vp, im, ri),
+        visual_params, batch["images"][:1], batch["roi_images"][:1])
+    params = fast_init(
+        lambda k, *a: model.init(k, *a)["params"],
+        batch["input_ids"][:1, 0],
+        jnp.zeros(grid.shape, grid.dtype), jnp.zeros(roi.shape, roi.dtype),
+        batch["roi_coors"][:1], None, batch["attention_mask"][:1, 0],
+        batch["added_mask"][:1, 0])
     tx = make_adamw(linear_warmup_schedule(7e-5, 100, 10000),
                     head_learning_rate=linear_warmup_schedule(7e-4, 100, 10000))
     state = TrainState.create(params, visual_params, tx)
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    step = make_finetune_train_step(model, visual, donate=False)
+    step = make_finetune_train_step(model, visual)
+    key = jax.random.PRNGKey(0)
+
+    def run_chain(state, n):
+        for _ in range(n):
+            state, metrics = step(state, batch, key)
+        return state, metrics
 
     t0 = time.time()
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
-    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    state, metrics = run_chain(state, 1)
+    loss0 = float(metrics["loss"])  # forces compile + first step
+    print(f"# compile+first step: {time.time() - t0:.1f}s (loss {loss0:.3f})",
+          file=sys.stderr)
 
-    # warmup
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    # warmup (steady-state buffers)
+    state, metrics = run_chain(state, 2)
+    float(metrics["loss"])
 
-    # Force a HOST fetch of the loss every step: on this platform (axon
-    # tunnel) block_until_ready resolves early, so only a device->host scalar
-    # transfer gives honest wall-clock (verified: block_until_ready-timed
-    # loops report >1000x the FLOP roofline).
     t0 = time.time()
-    for _ in range(steps):
-        state, metrics = step(state, batch, key)
-        float(metrics["loss"])
+    state, metrics = run_chain(state, steps)
+    final = float(metrics["loss"])  # depends on all `steps` updates
     dt = time.time() - t0
 
     samples_per_s = batch_size * steps / dt
     pairs_per_s = samples_per_s * cfg.num_imgs
-    print(f"# {dt / steps * 1e3:.1f} ms/step, {samples_per_s:.2f} samples/s",
-          file=sys.stderr)
+    print(f"# {dt / steps * 1e3:.1f} ms/step, {samples_per_s:.2f} samples/s "
+          f"(final loss {final:.3f})", file=sys.stderr)
     print(json.dumps({
         "metric": "fcmf_finetune_image_text_pairs_per_s",
         "value": round(pairs_per_s, 2),

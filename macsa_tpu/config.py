@@ -133,6 +133,10 @@ class FCMFConfig:
     # fuse the geometric ROI attention into a Pallas kernel
     # (macsa_tpu.ops.box_attention_kernel); eval/no-dropout paths only
     use_pallas_box_attention: bool = False
+    # enable the Multimodal Denoising Encoder on the image-patch branch when
+    # alpha < 1 (the reference's alternative encoder,
+    # fcmf_pretraining.py:243-290; disabled in the active one, :34-35)
+    use_mde: bool = False
 
     @property
     def num_visual_tokens(self) -> int:

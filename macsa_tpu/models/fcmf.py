@@ -67,6 +67,13 @@ class FCMFEncoder(nn.Module):
         self.text2img_pooler = layers.TokenPooler(mc, token_index=0)
         self.text2roi_pooler = layers.TokenPooler(mc, token_index=0)
         self.mm_attention = layers.MultimodalEncoder(mc)
+        if cfg.use_mde and cfg.alpha < 1.0:
+            # text-guided patch denoising (the reference's alternative
+            # encoder activates MDE when alpha < 1, fcmf_pretraining.py:267-287)
+            from macsa_tpu.models.mde import MultimodalDenoisingEncoder
+            self.mde = MultimodalDenoisingEncoder(mc, alpha=cfg.alpha)
+        else:
+            self.mde = None
 
     def __call__(
         self,
@@ -99,8 +106,16 @@ class FCMFEncoder(nn.Module):
         # --- A. image-guided cross attention (fcmf_pretraining.py:48-93) ---
         img_embeds = _fold(visual_embeds_att).astype(dt)      # [B*I, 49, 2048]
         converted_img = self.vismap2text(img_embeds)          # [B*I, 49, H]
-        img_mask = added_attention_mask[:, :cfg.num_patches]
-        img_mask = jnp.repeat(img_mask, num_imgs, axis=0)
+        if self.mde is not None:
+            # denoise to K=ceil(49*alpha) strong patches; the filtered set is
+            # fully valid, so the mask becomes all-ones over K
+            # (fcmf_pretraining.py:272-287)
+            converted_img = self.mde(text_rep, converted_img)  # [B*I, K, H]
+            img_mask = jnp.ones((converted_img.shape[0], converted_img.shape[1]),
+                                jnp.int32)
+        else:
+            img_mask = added_attention_mask[:, :cfg.num_patches]
+            img_mask = jnp.repeat(img_mask, num_imgs, axis=0)
         ext_img_mask = layers.extend_attention_mask(img_mask, dtype=dt)
 
         text2img = self.text2img_attention(text_rep, converted_img, ext_img_mask,

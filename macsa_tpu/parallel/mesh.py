@@ -50,12 +50,43 @@ def shard_batch(batch, mesh: Mesh):
 
     Per-host data sharding (the reference's DistributedSampler + manual
     dataframe slicing, run_pretraining_fcmf.py:170-172,281) is subsumed by
-    device_put with a dp-sharded layout.
+    device_put with a dp-sharded layout.  Under multi-process SPMD each host
+    holds only its slice of the global batch, so the global array is
+    assembled with `make_array_from_process_local_data`.
     """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def maybe_initialize_distributed() -> None:
+    """`jax.distributed.initialize()` when launched as a multi-process SPMD
+    job (coordinator env vars present).  The TPU analogue of the reference's
+    `dist.init_process_group('nccl')` (run_pretraining_fcmf.py:91) — except
+    collectives afterwards are inserted by XLA, not called by user code."""
+    import os
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def fetch_global(x) -> np.ndarray:
+    """Bring a (possibly multi-host, dp-sharded) array fully to this host.
+
+    Replaces the reference's master-process-only eval gather
+    (run_multimodal_fcmf.py:500): every host gets the full array via a
+    process_allgather when the array is not fully addressable."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

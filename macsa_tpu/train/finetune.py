@@ -64,6 +64,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune_cnn", action="store_true")
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
                    choices=["causal_quirk", "padding"])
+    p.add_argument("--use_mde", action="store_true", default=False,
+                   help="enable the Multimodal Denoising Encoder on the "
+                        "patch branch when alpha < 1 (the reference's "
+                        "alternative encoder, fcmf_pretraining.py:243-290)")
     p.add_argument("--uint8_transfer", action="store_true", default=False,
                    help="ship raw uint8 pixels (4x less host->device traffic); "
                         "NOTE: uint8 elementwise compute is very slow on some "
@@ -71,6 +75,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "bottleneck")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--resnet_stages", type=str, default="3,8,36,3",
+                   help="ResNet stage sizes (default: ResNet-152); smaller "
+                        "values for smoke tests, e.g. '1,1,1,1'")
     return p
 
 
@@ -82,7 +89,9 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.data.vimacsa import MACSADataset
     from macsa_tpu.models.fcmf import FCMF
     from macsa_tpu.models.resnet import VisualFeatures
-    from macsa_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from macsa_tpu.parallel.mesh import (fetch_global, make_mesh,
+                                         maybe_initialize_distributed,
+                                         replicate, shard_batch)
     from macsa_tpu.train import common
     from macsa_tpu.train.checkpoints import CheckpointManager, transfer_encoder_params
     from macsa_tpu.train.metrics import aspect_report
@@ -94,8 +103,13 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.utils.logging import MetricWriter, maybe_profile, setup_logging
 
     args = build_argparser().parse_args(argv)
-    logger = setup_logging(args.output_dir)
-    writer = MetricWriter(args.output_dir)
+    maybe_initialize_distributed()
+    n_hosts, host_id = jax.process_count(), jax.process_index()
+    is_main = host_id == 0
+    logger = setup_logging(args.output_dir if is_main else None,
+                           is_main=is_main)
+    writer = MetricWriter(args.output_dir) if is_main else \
+        type("NullWriter", (), {"write": staticmethod(lambda *a, **k: None)})()
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
@@ -103,8 +117,10 @@ def main(argv: Optional[list] = None) -> dict:
     cfg = FCMFConfig(model=ModelConfig(dtype=dtype), text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,
                      alpha=args.alpha, max_text_len=args.max_seq_length,
-                     decoder_cross_mask_mode=args.cross_mask_mode)
-    rcfg = ResNetConfig(dtype=dtype)
+                     decoder_cross_mask_mode=args.cross_mask_mode,
+                     use_mde=args.use_mde)
+    rcfg = ResNetConfig(dtype=dtype, stage_sizes=tuple(
+        int(s) for s in args.resnet_stages.split(",")))
 
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
     roi_boxes, dict_img, dict_roi = common.load_metadata(args.data_dir)
@@ -203,16 +219,22 @@ def main(argv: Optional[list] = None) -> dict:
             pad_mask = padded.pop("pad_mask")
             sb = shard_batch(padded, mesh)
             p, _ = eval_step(state.params, state.visual_params, sb)
-            preds.append(np.asarray(p)[:b])
+            # every host loads the full eval set, so under multi-host SPMD the
+            # global batch is the eval batch replicated along dp; rows [:b]
+            # are host 0's copy (the reference evals on the master rank only,
+            # run_multimodal_fcmf.py:500)
+            preds.append(fetch_global(p)[:b])
             trues.append(batch["labels"])
         return aspect_report(np.concatenate(trues), np.concatenate(preds))
 
     result = {}
     if args.do_train:
         dev_ds = make_dataset("dev") if args.do_eval else None
+        # per-host contiguous shard of the training data; the per-step global
+        # batch (n_hosts * train_batch_size) is assembled by shard_batch
         loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
                             seed=args.seed, drop_last=True, num_workers=8,
-                            cache=True)
+                            cache=True, num_hosts=n_hosts, host_id=host_id)
         key = jax.random.PRNGKey(args.seed)
         with maybe_profile(args.profile_dir):
             for epoch in range(start_epoch, args.num_train_epochs):
@@ -256,7 +278,7 @@ def main(argv: Optional[list] = None) -> dict:
             padded.pop("pad_mask")
             sb = shard_batch(padded, mesh)
             p, _ = eval_step(state.params, state.visual_params, sb)
-            preds.append(np.asarray(p)[:b])
+            preds.append(fetch_global(p)[:b])
             trues.append(batch["labels"])
         trues, preds = np.concatenate(trues), np.concatenate(preds)
         report = aspect_report(trues, preds)

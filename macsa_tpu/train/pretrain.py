@@ -57,6 +57,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
                    choices=["causal_quirk", "padding"])
     p.add_argument("--uint8_transfer", action="store_true", default=False)
+    p.add_argument("--use_mde", action="store_true", default=False)
+    p.add_argument("--resnet_stages", type=str, default="3,8,36,3")
     p.add_argument("--beam_size", type=int, default=3)
     p.add_argument("--debug_decode_every", type=int, default=10,
                    help="decode 2 samples every N steps (reference :340-372)")
@@ -93,7 +95,9 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.data.loader import DataLoader
     from macsa_tpu.models.resnet import VisualFeatures
     from macsa_tpu.models.seq2seq import FCMFSeq2Seq
-    from macsa_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from macsa_tpu.parallel.mesh import (make_mesh,
+                                         maybe_initialize_distributed,
+                                         replicate, shard_batch)
     from macsa_tpu.train import common
     from macsa_tpu.train.checkpoints import CheckpointManager
     from macsa_tpu.train.optim import linear_warmup_schedule, make_adamw
@@ -103,8 +107,13 @@ def main(argv: Optional[list] = None) -> dict:
 
     args = build_argparser().parse_args(argv)
     data_dir = args.data_dir or args.pretrained_data_dir
-    logger = setup_logging(args.output_dir)
-    writer = MetricWriter(args.output_dir)
+    maybe_initialize_distributed()
+    n_hosts, host_id = jax.process_count(), jax.process_index()
+    is_main = host_id == 0
+    logger = setup_logging(args.output_dir if is_main else None,
+                           is_main=is_main)
+    writer = MetricWriter(args.output_dir) if is_main else \
+        type("NullWriter", (), {"write": staticmethod(lambda *a, **k: None)})()
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
@@ -114,13 +123,15 @@ def main(argv: Optional[list] = None) -> dict:
     cfg = FCMFConfig(model=ModelConfig(dtype=dtype), text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,
                      alpha=args.alpha, max_text_len=args.max_seq_length,
-                     decoder_cross_mask_mode=args.cross_mask_mode)
+                     decoder_cross_mask_mode=args.cross_mask_mode,
+                     use_mde=args.use_mde)
     dec_cfg = DecoderConfig(vocab_size=vocab_size,
                             hidden_size=cfg.model.hidden_size,
                             num_blocks=cfg.model.num_hidden_layers,
                             num_heads=cfg.model.num_attention_heads,
                             max_decode_len=args.max_len_decoder, dtype=dtype)
-    rcfg = ResNetConfig(dtype=dtype)
+    rcfg = ResNetConfig(dtype=dtype, stage_sizes=tuple(
+        int(s) for s in args.resnet_stages.split(",")))
 
     roi_boxes, dict_img, dict_roi = common.load_metadata(data_dir)
 
@@ -222,7 +233,7 @@ def main(argv: Optional[list] = None) -> dict:
     if args.do_train:
         loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
                             seed=args.seed, drop_last=True, num_workers=8,
-                            cache=True)
+                            cache=True, num_hosts=n_hosts, host_id=host_id)
         dev_ds = make_dataset("dev") if args.do_eval else None
         key = jax.random.PRNGKey(args.seed)
         for epoch in range(start_epoch, args.num_train_epochs):

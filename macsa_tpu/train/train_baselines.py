@@ -66,7 +66,9 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.models.baselines import EFCapTrRoBERTa, MRoBERTa, TomBERT
     from macsa_tpu.models.resnet import VisualFeatures
     from macsa_tpu.config import ResNetConfig
-    from macsa_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from macsa_tpu.parallel.mesh import (fetch_global, make_mesh,
+                                         maybe_initialize_distributed,
+                                         replicate, shard_batch)
     from macsa_tpu.train import common
     from macsa_tpu.train.baseline_steps import (make_baseline_eval_step,
                                                 make_baseline_train_step)
@@ -78,8 +80,13 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.utils.logging import MetricWriter, setup_logging
 
     args = build_argparser().parse_args(argv)
-    logger = setup_logging(args.output_dir)
-    writer = MetricWriter(args.output_dir)
+    maybe_initialize_distributed()
+    n_hosts, host_id = jax.process_count(), jax.process_index()
+    is_main = host_id == 0
+    logger = setup_logging(args.output_dir if is_main else None,
+                           is_main=is_main)
+    writer = MetricWriter(args.output_dir) if is_main else \
+        type("NullWriter", (), {"write": staticmethod(lambda *a, **k: None)})()
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
@@ -191,7 +198,7 @@ def main(argv: Optional[list] = None) -> dict:
             padded.pop("pad_mask")
             sb = shard_batch(padded, mesh)
             p, _ = eval_step(state.params, state.visual_params, sb)
-            preds.append(np.asarray(p)[:b])
+            preds.append(fetch_global(p)[:b])
             trues.append(batch["labels"])
         return np.concatenate(trues), np.concatenate(preds), texts
 
@@ -200,7 +207,7 @@ def main(argv: Optional[list] = None) -> dict:
         dev_ds = make_dataset("dev") if args.do_eval else None
         loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
                             seed=args.seed, drop_last=True, num_workers=8,
-                            cache=True)
+                            cache=True, num_hosts=n_hosts, host_id=host_id)
         key = jax.random.PRNGKey(args.seed)
         for epoch in range(start_epoch, args.num_train_epochs):
             loader.set_epoch(epoch)

@@ -18,9 +18,12 @@ from typing import Any, Dict, Optional
 
 
 def setup_logging(output_dir: Optional[str] = None,
-                  name: str = "macsa_tpu") -> logging.Logger:
+                  name: str = "macsa_tpu",
+                  is_main: bool = True) -> logging.Logger:
+    """`is_main=False` (non-zero SPMD process) logs warnings only — the
+    reference's master-process-only logging (run_pretraining_fcmf.py:98)."""
     logger = logging.getLogger(name)
-    logger.setLevel(logging.INFO)
+    logger.setLevel(logging.INFO if is_main else logging.WARNING)
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(name)s - %(message)s")
     sh = logging.StreamHandler(sys.stdout)

@@ -1,0 +1,88 @@
+"""End-to-end driver tests: real CLI entry points on a synthetic dataset.
+
+Runs `tools_dev/make_synth_data.py` output through the actual
+`macsa_tpu.train.finetune` / `pretrain` mains (tiny text config from the
+synthetic tokenizer dir, 1-block ResNet via --resnet_stages) and checks the
+artifact contract: decreasing loss, full epochs (regression for the
+silently-truncated-epoch loader bug), best/last checkpoints, test report
+files, and the Phase-1 -> Phase-2 encoder transfer.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools_dev", "make_synth_data.py"),
+         str(out), "8"],
+        check=True, capture_output=True, text=True)
+    return out
+
+
+# batch 8: the conftest CPU mesh has 8 dp devices and the global batch must
+# divide evenly across them
+COMMON = ["--num_imgs", "2", "--num_rois", "2", "--train_batch_size", "8",
+          "--eval_batch_size", "8", "--log_every", "1",
+          "--resnet_stages", "1,1,1,1"]
+
+
+@pytest.mark.slow
+def test_finetune_driver_end_to_end(synth):
+    from macsa_tpu.train.finetune import main
+    out_dir = str(synth / "out_ft")
+    result = main([
+        "--data_dir", str(synth / "data"), "--image_dir", str(synth / "images"),
+        "--output_dir", out_dir, "--pretrained_hf_model", str(synth / "tok"),
+        "--num_train_epochs", "2", "--do_train", "--do_eval", "--do_test",
+        *COMMON])
+    assert "best_dev_f1" in result and "test" in result
+    assert 0.0 <= result["test"]["average"]["f1"] <= 1.0
+    for name in ("best", "last", "train.log", "metrics.jsonl",
+                 "test_results_fcmf.txt", "test_predictions_formatted.txt"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
+
+    # full epochs: 8 train samples / batch 8 -> 1 step per epoch, 2 epochs
+    # (regression: a swallowed loader exception used to truncate epochs)
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    train_recs = [r for r in recs if "loss" in r]
+    assert len(train_recs) == 2, train_recs
+
+    with open(os.path.join(out_dir, "test_results_fcmf.txt")) as f:
+        report = f.read()
+    assert "Average:" in report and "Location:" in report
+
+
+@pytest.mark.slow
+def test_pretrain_then_transfer(synth):
+    from macsa_tpu.train.pretrain import main as pretrain_main
+    from macsa_tpu.train.finetune import main as finetune_main
+
+    iaog_dir = str(synth / "out_iaog")
+    result = pretrain_main([
+        "--pretrained_data_dir", str(synth / "data"),
+        "--image_dir", str(synth / "images"),
+        "--output_dir", iaog_dir, "--pretrained_hf_model", str(synth / "tok"),
+        "--num_train_epochs", "1", "--debug_decode_every", "0", "--do_train",
+        *COMMON])
+    assert result["best_train_loss"] < float("inf")
+    assert os.path.exists(os.path.join(iaog_dir, "best"))
+
+    out_dir = str(synth / "out_ft_transfer")
+    finetune_main([
+        "--data_dir", str(synth / "data"), "--image_dir", str(synth / "images"),
+        "--output_dir", out_dir, "--pretrained_hf_model", str(synth / "tok"),
+        "--pretrained_iaog_path", iaog_dir,
+        "--num_train_epochs", "1", "--do_train", *COMMON])
+    with open(os.path.join(out_dir, "train.log")) as f:
+        log = f.read()
+    assert "Transferring IAOG encoder" in log

@@ -85,3 +85,24 @@ def test_dropout_rng_training_mode(rng):
     l2 = model.apply(params, *inputs, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_encoder_with_mde_enabled(rng):
+    """use_mde + alpha<1 routes the patch branch through the denoiser
+    (the reference's alternative encoder, fcmf_pretraining.py:267-287)."""
+    import dataclasses
+    cfg = dataclasses.replace(FCMF_CFG, use_mde=True, alpha=0.6)
+    enc = FCMFEncoder(cfg)
+    inputs = make_inputs(rng)
+    params = enc.init(jax.random.PRNGKey(0), *inputs)
+    assert "mde" in params["params"]
+    fused = jax.jit(lambda p, *a: enc.apply(p, *a))(params, *inputs)
+    b = inputs[0].shape[0]
+    assert fused.shape == (b, 1 + 2 * cfg.num_imgs, MODEL.hidden_size)
+    assert np.isfinite(np.asarray(fused)).all()
+
+    # denoising must actually change the image branch vs the plain encoder
+    plain = FCMFEncoder(FCMF_CFG)
+    plain_params = plain.init(jax.random.PRNGKey(0), *inputs)
+    ref = plain.apply(plain_params, *inputs)
+    assert not np.allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
