@@ -118,7 +118,12 @@ class FCMFEncoder(nn.Module):
             img_mask = jnp.repeat(img_mask, num_imgs, axis=0)
         ext_img_mask = layers.extend_attention_mask(img_mask, dtype=dt)
 
-        text2img = self.text2img_attention(text_rep, converted_img, ext_img_mask,
+        # Only the CLS row of the cross-attention output is pooled (idx 0),
+        # and cross-attention query rows never interact — so computing just
+        # the CLS query is exact and ~170x cheaper than the reference's
+        # full-sequence cross pass (fcmf_pretraining.py:84-93).
+        text2img = self.text2img_attention(text_rep[:, :1, :], converted_img,
+                                           ext_img_mask,
                                            deterministic=deterministic)
         h_i = self.text2img_pooler(text2img)                  # [B*I, H]
         all_h = h_i.reshape(b, num_imgs, -1)
@@ -135,8 +140,11 @@ class FCMFEncoder(nn.Module):
         relative_roi = self.box_head(converted_roi, converted_roi, converted_roi,
                                      _fold(roi_coors), deterministic=deterministic)
         text_roi = jnp.concatenate([text_rep, relative_roi], axis=1)
+        # pooled at token 0 only -> query-slice the single self-attention
+        # layer (exact; K/V stay the full 174 tokens)
         roi_encoded = self.mm_attention(text_roi, ext_t2r_mask,
-                                        deterministic=deterministic)
+                                        deterministic=deterministic,
+                                        num_query_tokens=1)
         r_i = self.text2roi_pooler(roi_encoded)               # [B*I, H]
         all_r = r_i.reshape(b, num_imgs, -1)
 

@@ -157,16 +157,26 @@ class BertSelfOutput(nn.Module):
 
 
 class BertAttention(nn.Module):
-    """Self-attention + output block (mm_modeling.py:283-292)."""
+    """Self-attention + output block (mm_modeling.py:283-292).
+
+    `num_query_tokens` restricts the *query* rows to the first N tokens
+    (K/V stay full).  Because query rows never interact inside one
+    attention+FFN layer, the first N output rows are mathematically
+    identical to slicing the full output — an exact speedup when only a
+    pooled prefix (e.g. the CLS token) is consumed downstream."""
 
     config: ModelConfig
 
     @nn.compact
     def __call__(self, hidden: Array, additive_mask: Optional[Array],
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 num_query_tokens: Optional[int] = None) -> Array:
+        q_states = (hidden if num_query_tokens is None
+                    else hidden[:, :num_query_tokens])
         ctx = BertSelfAttention(self.config, name="self")(
-            hidden, hidden, additive_mask, deterministic)
-        return BertSelfOutput(self.config, name="output")(ctx, hidden, deterministic)
+            q_states, hidden, additive_mask, deterministic)
+        return BertSelfOutput(self.config, name="output")(ctx, q_states,
+                                                          deterministic)
 
 
 class BertCrossAttention(nn.Module):
@@ -210,8 +220,11 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden: Array, additive_mask: Optional[Array],
-                 deterministic: bool = True) -> Array:
-        h = BertAttention(self.config, name="attention")(hidden, additive_mask, deterministic)
+                 deterministic: bool = True,
+                 num_query_tokens: Optional[int] = None) -> Array:
+        h = BertAttention(self.config, name="attention")(
+            hidden, additive_mask, deterministic,
+            num_query_tokens=num_query_tokens)
         return BertMLP(self.config, name="mlp")(h, deterministic)
 
 
@@ -237,10 +250,16 @@ class MultimodalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hidden: Array, additive_mask: Optional[Array],
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 num_query_tokens: Optional[int] = None) -> Array:
+        """`num_query_tokens`: compute only the first N output rows.  Exact
+        (see BertAttention) — applied at the LAST layer only, since earlier
+        layers must still produce every token as K/V for the next."""
         for i in range(self.num_layers):
+            last = i == self.num_layers - 1
             hidden = BertLayer(self.config, name=f"layer_{i}")(
-                hidden, additive_mask, deterministic)
+                hidden, additive_mask, deterministic,
+                num_query_tokens=num_query_tokens if last else None)
         return hidden
 
 

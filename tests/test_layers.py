@@ -93,3 +93,39 @@ def test_extend_attention_mask_values():
     ext = layers.extend_attention_mask(m)
     assert ext.shape == (1, 1, 1, 3)
     np.testing.assert_allclose(np.asarray(ext)[0, 0, 0], [0.0, 0.0, -10000.0])
+
+
+def test_query_slicing_exact_self_attention(rng):
+    """num_query_tokens=1 must equal the first row of the full output —
+    query rows never interact inside one attention+FFN layer."""
+    from macsa_tpu.config import ModelConfig
+    mc = ModelConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+                     intermediate_size=64)
+    enc = layers.MultimodalEncoder(mc)
+    x = jnp.asarray(rng.normal(size=(3, 9, 32)), jnp.float32)
+    mask = layers.extend_attention_mask(
+        jnp.asarray(rng.integers(0, 2, (3, 9)), jnp.int32), dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x, mask)
+    full = enc.apply(params, x, mask)
+    sliced = enc.apply(params, x, mask, num_query_tokens=1)
+    assert sliced.shape == (3, 1, 32)
+    np.testing.assert_allclose(np.asarray(sliced), np.asarray(full[:, :1]),
+                               rtol=0, atol=1e-6)
+
+
+def test_query_slicing_exact_cross_attention(rng):
+    """Cross-attention queries are row-independent: feeding only the CLS row
+    equals slicing the full output."""
+    from macsa_tpu.config import ModelConfig
+    mc = ModelConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+                     intermediate_size=64)
+    enc = layers.BertCrossEncoder(mc)
+    s1 = jnp.asarray(rng.normal(size=(3, 11, 32)), jnp.float32)
+    s2 = jnp.asarray(rng.normal(size=(3, 5, 32)), jnp.float32)
+    mask = layers.extend_attention_mask(
+        jnp.asarray(rng.integers(0, 2, (3, 5)), jnp.int32), dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), s1, s2, mask)
+    full = enc.apply(params, s1, s2, mask)
+    sliced = enc.apply(params, s1[:, :1], s2, mask)
+    np.testing.assert_allclose(np.asarray(sliced), np.asarray(full[:, :1]),
+                               rtol=0, atol=1e-6)

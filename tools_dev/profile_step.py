@@ -115,5 +115,86 @@ def main():
           f"chained {b * cfg.num_imgs / t2:.1f}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("PROFILE_SUBMODULES"):
     main()
+
+
+def submodules():
+    """Time individual fusion-stack submodules fwd+bwd at bench shapes."""
+    import jax
+    import jax.numpy as jnp
+    from macsa_tpu.config import FCMFConfig, ModelConfig, TextEncoderConfig
+    from macsa_tpu.models import layers
+    from macsa_tpu.models.text_encoder import TextEncoder
+    from macsa_tpu.models.box_attention import BoxMultiHeadedAttention
+
+    b = int(os.environ.get("BENCH_BATCH", "8"))
+    n = int(os.environ.get("BENCH_STEPS", "10"))
+    cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16"),
+                     text=TextEncoderConfig(dtype="bfloat16"))
+    mc = cfg.model
+    BA = b * 6          # folded aspect views
+    BAI = BA * cfg.num_imgs  # folded image axis
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    def bwd_timed(name, module, *args, method=None):
+        params = module.init(key, *args)
+        def loss(p, *a):
+            out = module.apply(p, *a)
+            out = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        # reduce grads to ONE scalar inside jit: the tail fetch then moves
+        # 4 bytes, not a 46MB embedding-grad leaf, through the tunnel
+        def gsum(p, *a):
+            grads = jax.grad(loss)(p, *a)
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree_util.tree_leaves(grads))
+        g = jax.jit(gsum)
+        float(g(params, *args))  # compile + warm
+        t0 = time.time()
+        for _ in range(n):
+            out = g(params, *args)
+        float(out)   # device executes enqueued programs in order
+        t = (time.time() - t0) / n
+        print(f"{name:28s}: {t * 1e3:8.1f} ms")
+
+    h = mc.hidden_size
+    # text encoder: [BA, 170]
+    ids = jnp.asarray(rng.integers(2, cfg.text.vocab_size, (BA, 170)), jnp.int32)
+    mask = jnp.ones((BA, 170), jnp.int32)
+    bwd_timed("bert (12L, BA x 170)", TextEncoder(cfg.text), ids, None, mask)
+
+    # text2img cross encoder: q=[BAI,170,h], kv=[BAI,49,h]
+    q = jnp.asarray(rng.normal(size=(BAI, 170, h)), jnp.bfloat16)
+    kv = jnp.asarray(rng.normal(size=(BAI, 49, h)), jnp.bfloat16)
+    m = layers.extend_attention_mask(jnp.ones((BAI, 49), jnp.int32),
+                                     dtype=jnp.bfloat16)
+    bwd_timed("text2img (BAI,170<-49)", layers.BertCrossEncoder(mc), q, kv, m)
+
+    # mm_attention self-attn over 174 tokens
+    x174 = jnp.asarray(rng.normal(size=(BAI, 174, h)), jnp.bfloat16)
+    m174 = layers.extend_attention_mask(jnp.ones((BAI, 174), jnp.int32),
+                                        dtype=jnp.bfloat16)
+    bwd_timed("mm_attn roi (BAI,174)", layers.MultimodalEncoder(mc), x174, m174)
+
+    # mm_attention fusion over 15 tokens
+    x15 = jnp.asarray(rng.normal(size=(BA, 15, h)), jnp.bfloat16)
+    m15 = layers.extend_attention_mask(jnp.ones((BA, 15), jnp.int32),
+                                       dtype=jnp.bfloat16)
+    bwd_timed("mm_attn fusion (BA,15)", layers.MultimodalEncoder(mc), x15, m15)
+
+    # box attention: [BAI, 4, h]
+    roi = jnp.asarray(rng.normal(size=(BAI, 4, h)), jnp.bfloat16)
+    coors = jnp.asarray(rng.uniform(0, 1, (BAI, 4, 4)), jnp.float32)
+    box = BoxMultiHeadedAttention(num_heads=8, d_model=h, dtype=jnp.bfloat16)
+    params = box.init(key, roi, roi, roi, coors)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(
+        box.apply(p, roi, roi, roi, coors).astype(jnp.float32) ** 2)))
+    t = timed(lambda: g(params), n)
+    print(f"{'box_attn (BAI,4)':28s}: {t * 1e3:8.1f} ms")
+
+
+if __name__ == "__main__" and os.environ.get("PROFILE_SUBMODULES"):
+    submodules()
+    sys.exit(0)
