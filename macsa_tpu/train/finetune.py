@@ -78,6 +78,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3",
                    help="ResNet stage sizes (default: ResNet-152); smaller "
                         "values for smoke tests, e.g. '1,1,1,1'")
+    p.add_argument("--mp", type=int, default=1,
+                   help="tensor-parallel (model) mesh axis size; params are "
+                        "Megatron-sharded over mp (parallel.sharding), "
+                        "dp = n_devices // mp")
     return p
 
 
@@ -203,10 +207,21 @@ def main(argv: Optional[list] = None) -> dict:
                                                    state)
         logger.info(f"resumed from epoch {start_epoch}, best F1 {best_f1:.4f}")
 
-    mesh = make_mesh()
-    state = replicate(state, mesh)
-    train_step = make_finetune_train_step(model, visual, mesh=mesh)
-    eval_step = make_finetune_eval_step(model, visual, mesh=mesh)
+    mesh = make_mesh(mp=args.mp)
+    if args.mp > 1:
+        from macsa_tpu.parallel.sharding import shard_state, state_shardings
+        state_shard = state_shardings(state, mesh)
+        place = lambda s: shard_state(s, mesh)
+    else:
+        state_shard = None
+        place = lambda s: replicate(s, mesh)
+    state = place(state)
+    train_step = make_finetune_train_step(model, visual, mesh=mesh,
+                                          state_sharding=state_shard)
+    eval_step = make_finetune_eval_step(
+        model, visual, mesh=mesh,
+        param_sharding=state_shard.params if state_shard else None,
+        visual_sharding=state_shard.visual_params if state_shard else None)
 
     def run_eval(dataset) -> dict:
         loader = DataLoader(dataset, args.eval_batch_size, num_workers=8)
@@ -267,7 +282,7 @@ def main(argv: Optional[list] = None) -> dict:
     if args.do_test:
         if ckpt.exists("best"):
             state, _, _ = ckpt.restore("best", state)
-            state = replicate(state, mesh)
+            state = place(state)
         test_ds = make_dataset("test")
         loader = DataLoader(test_ds, args.eval_batch_size, num_workers=8)
         trues, preds, texts = [], [], []

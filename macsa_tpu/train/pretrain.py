@@ -59,6 +59,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--uint8_transfer", action="store_true", default=False)
     p.add_argument("--use_mde", action="store_true", default=False)
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3")
+    p.add_argument("--mp", type=int, default=1,
+                   help="tensor-parallel mesh axis size (parallel.sharding)")
     p.add_argument("--beam_size", type=int, default=3)
     p.add_argument("--debug_decode_every", type=int, default=10,
                    help="decode 2 samples every N steps (reference :340-372)")
@@ -197,9 +199,16 @@ def main(argv: Optional[list] = None) -> dict:
         best_loss = -neg_best
         logger.info(f"resumed from epoch {start_epoch}")
 
-    mesh = make_mesh()
-    state = replicate(state, mesh)
-    train_step = make_pretrain_train_step(model, visual, mesh=mesh)
+    mesh = make_mesh(mp=args.mp)
+    if args.mp > 1:
+        from macsa_tpu.parallel.sharding import shard_state, state_shardings
+        state_shard = state_shardings(state, mesh)
+        state = shard_state(state, mesh)
+    else:
+        state_shard = None
+        state = replicate(state, mesh)
+    train_step = make_pretrain_train_step(model, visual, mesh=mesh,
+                                          state_sharding=state_shard)
 
     # In-training debug decoding (run_pretraining_fcmf.py:340-372): every N
     # steps, greedy-decode 2 samples and log prediction vs label.

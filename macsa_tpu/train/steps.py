@@ -106,8 +106,13 @@ def fcmf_forward_all_aspects(model: FCMF, params, visual: VisualFeatures,
 
 def make_finetune_train_step(model: FCMF, visual: VisualFeatures,
                              mesh: Optional[Mesh] = None,
-                             donate: bool = True) -> Callable:
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+                             donate: bool = True,
+                             state_sharding=None) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    `state_sharding`: optional NamedSharding pytree for the TrainState
+    (parallel.sharding.state_shardings) enabling tensor parallelism over
+    the mesh's mp axis; default replicated (dp only)."""
 
     def step(state: TrainState, batch: Batch, rng: Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -139,14 +144,17 @@ def make_finetune_train_step(model: FCMF, visual: VisualFeatures,
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
+    state_s = state_sharding if state_sharding is not None else repl
     return jax.jit(step,
-                   in_shardings=(repl, data, repl),
-                   out_shardings=(repl, repl),
+                   in_shardings=(state_s, data, repl),
+                   out_shardings=(state_s, repl),
                    donate_argnums=(0,) if donate else ())
 
 
 def make_finetune_eval_step(model: FCMF, visual: VisualFeatures,
-                            mesh: Optional[Mesh] = None) -> Callable:
+                            mesh: Optional[Mesh] = None,
+                            param_sharding=None,
+                            visual_sharding=None) -> Callable:
     def step(params, visual_params, batch: Batch):
         logits = fcmf_forward_all_aspects(model, params, visual, visual_params,
                                           batch, deterministic=True)
@@ -156,13 +164,16 @@ def make_finetune_eval_step(model: FCMF, visual: VisualFeatures,
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
-    return jax.jit(step, in_shardings=(repl, repl, data),
+    return jax.jit(step,
+                   in_shardings=(param_sharding or repl,
+                                 visual_sharding or repl, data),
                    out_shardings=(data, data))
 
 
 def make_pretrain_train_step(model: FCMFSeq2Seq, visual: VisualFeatures,
                              mesh: Optional[Mesh] = None,
-                             donate: bool = True) -> Callable:
+                             donate: bool = True,
+                             state_sharding=None) -> Callable:
     """Phase-1 IAOG seq2seq step (run_pretraining_fcmf.py:290-337)."""
 
     def step(state: TrainState, batch: Batch, rng: Array):
@@ -194,6 +205,7 @@ def make_pretrain_train_step(model: FCMFSeq2Seq, visual: VisualFeatures,
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
-    return jax.jit(step, in_shardings=(repl, data, repl),
-                   out_shardings=(repl, repl),
+    state_s = state_sharding if state_sharding is not None else repl
+    return jax.jit(step, in_shardings=(state_s, data, repl),
+                   out_shardings=(state_s, repl),
                    donate_argnums=(0,) if donate else ())
