@@ -53,9 +53,16 @@ class MultimodalDenoisingEncoder(nn.Module):
         _, idx_weak = jax.lax.top_k(-scores, m_weak)
         v_weak = jnp.take_along_axis(image_hidden, idx_weak[..., None], axis=1)
 
-        # 3. cosine similarity weak->strong (mm_modeling.py:509-513)
-        norm = lambda x: x / jnp.maximum(
-            jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True), 1e-12)
+        # 3. cosine similarity weak->strong (mm_modeling.py:509-513).
+        # NaN-safe normalize: linalg.norm's gradient at an exactly-zero row
+        # is NaN even under a maximum() clamp (0 * d||x||/dx = 0 * 0/0), and
+        # zero rows DO occur — a zero-padded missing image through bias-free
+        # convs + identity-init BN yields exactly-zero features.  rsqrt of
+        # (sum(x^2) + eps) keeps both value and gradient finite at x = 0.
+        def norm(x):
+            x = x.astype(jnp.float32)
+            sq = jnp.sum(x * x, axis=-1, keepdims=True)
+            return x * jax.lax.rsqrt(sq + 1e-12)
         sim = jnp.einsum("bmh,bkh->bmk", norm(v_weak), norm(v_strong))
 
         # 4. theta gate & assignment (mm_modeling.py:516-523)

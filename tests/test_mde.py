@@ -54,3 +54,23 @@ def test_fusion_mixes_weak_into_strong(rng):
         0 if any(np.allclose(row, s, atol=1e-5) for s in src) else 1
         for row in out[0])
     assert fused_rows >= 1
+
+
+def test_mde_gradient_finite_at_zero_features(rng):
+    """Zero-padded missing images produce exactly-zero patch features
+    (bias-free convs + identity-init BN); the cosine normalize must keep
+    gradients finite there (regression: linalg.norm grad NaN at x=0 poisoned
+    vismap2text and the whole model from the first update)."""
+    mc = ModelConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+                     intermediate_size=64)
+    mde = MultimodalDenoisingEncoder(mc, alpha=0.7)
+    text = jnp.asarray(rng.normal(size=(2, 6, 32)), jnp.float32)
+    img_rand = jnp.asarray(rng.normal(size=(2, 9, 32)), jnp.float32)
+    params = mde.init(jax.random.PRNGKey(0), text, img_rand)
+
+    for img in (jnp.zeros((2, 9, 32), jnp.float32),        # all zero
+                img_rand.at[0].set(0.0)):                   # one sample zero
+        g = jax.grad(lambda x: jnp.sum(mde.apply(params, text, x) ** 2))(img)
+        assert np.isfinite(np.asarray(g)).all()
+        out = mde.apply(params, text, img)
+        assert np.isfinite(np.asarray(out)).all()
