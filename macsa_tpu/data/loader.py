@@ -135,7 +135,10 @@ class DataLoader:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self._get, idxs))
-                    q.put(collate(samples))
+                    out = collate(samples)
+                    # per-sample dataset indices (feature-cache keys)
+                    out["_idx"] = np.asarray(idxs, np.int32)
+                    q.put(out)
                 q.put(None)
             except BaseException as e:  # noqa: BLE001
                 q.put(e)
@@ -168,7 +171,9 @@ def pad_batch(batch: Batch, target: int) -> Batch:
         if isinstance(v, list):
             out[k] = v + [v[-1]] * (target - b)
         else:
-            pad = np.zeros((target - b,) + v.shape[1:], v.dtype)
+            # "_idx" pads with -1 so feature-cache scatters drop pad rows
+            fill = -1 if k == "_idx" else 0
+            pad = np.full((target - b,) + v.shape[1:], fill, v.dtype)
             out[k] = np.concatenate([v, pad], axis=0)
     mask = np.zeros((target,), np.bool_)
     mask[:b] = True

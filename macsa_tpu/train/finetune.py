@@ -82,6 +82,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="tensor-parallel (model) mesh axis size; params are "
                         "Megatron-sharded over mp (parallel.sharding), "
                         "dp = n_devices // mp")
+    p.add_argument("--cache_visual_features", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="cache the frozen-CNN visual features in HBM after "
+                        "the first pass over each split (exact — eval-mode "
+                        "BN; skips the ResNet stack and the raw-pixel "
+                        "host->device transfer). auto = on unless "
+                        "--fine_tune_cnn")
     return p
 
 
@@ -223,8 +230,54 @@ def main(argv: Optional[list] = None) -> dict:
         param_sharding=state_shard.params if state_shard else None,
         visual_sharding=state_shard.visual_params if state_shard else None)
 
-    def run_eval(dataset) -> dict:
-        loader = DataLoader(dataset, args.eval_batch_size, num_workers=8)
+    # --- frozen-CNN visual feature cache (HBM) ---------------------------
+    # Exact across epochs (eval-mode BN + stop_gradient); first pass over a
+    # split computes + scatters, later passes gather and skip the ResNet
+    # stack AND the raw-pixel host->device transfer.
+    use_feature_cache = (args.cache_visual_features == "on" or
+                         (args.cache_visual_features == "auto"
+                          and not args.fine_tune_cnn))
+    if use_feature_cache:
+        from macsa_tpu.train.feature_cache import VisualFeatureCache
+        extract_jit = jax.jit(lambda vp, im, ri: extract_visual(
+            visual, vp, im, ri, out_dtype=cfg.model.jnp_dtype))
+        caches: dict = {}
+        cached_rows: dict = {}  # split -> np.bool_ [n] rows already cached
+
+    def featurize(split: str, n_samples: int, batch: dict) -> dict:
+        """Replace raw pixels with (possibly cached) visual features.
+
+        Per-batch host-side warm check: drop_last drops a *different* tail
+        each epoch, so a later epoch can contain rows the first pass never
+        saw — those batches recompute and fill the cache."""
+        if not use_feature_cache:
+            batch.pop("_idx", None)
+            return batch
+        idx = np.asarray(batch.pop("_idx"))
+        images = batch.pop("images")
+        roi_images = batch.pop("roi_images")
+        if split not in caches:
+            caches[split] = VisualFeatureCache(
+                n_samples, cfg.num_imgs, cfg.num_roi, cfg.num_patches,
+                mesh=mesh)
+            cached_rows[split] = np.zeros(n_samples, np.bool_)
+            logger.info(f"visual feature cache[{split}]: "
+                        f"{caches[split].nbytes / 2**20:.0f} MiB HBM")
+        cache = caches[split]
+        valid = idx >= 0  # pad rows carry -1
+        if cached_rows[split][idx[valid]].all():
+            grid, roi = cache.lookup(idx)
+        else:
+            vis = shard_batch({"im": images, "ri": roi_images}, mesh)
+            grid, roi = extract_jit(state.visual_params, vis["im"], vis["ri"])
+            cache.update(idx, grid, roi)
+            cached_rows[split][idx[valid]] = True
+        batch["grid"], batch["roi"] = grid, roi
+        return batch
+
+    def run_eval(dataset, split: str = "dev") -> dict:
+        loader = DataLoader(dataset, args.eval_batch_size, num_workers=8,
+                            cache=use_feature_cache)
         trues, preds = [], []
         for batch in loader:
             b = batch["labels"].shape[0]
@@ -232,6 +285,7 @@ def main(argv: Optional[list] = None) -> dict:
                                 if not isinstance(v, list)},
                                args.eval_batch_size)
             pad_mask = padded.pop("pad_mask")
+            padded = featurize(split, len(dataset), padded)
             sb = shard_batch(padded, mesh)
             p, _ = eval_step(state.params, state.visual_params, sb)
             # every host loads the full eval set, so under multi-host SPMD the
@@ -257,6 +311,7 @@ def main(argv: Optional[list] = None) -> dict:
                 t0, seen = time.time(), 0
                 for i, batch in enumerate(loader):
                     batch.pop("text", None)
+                    batch = featurize("train", len(train_ds), batch)
                     sb = shard_batch(batch, mesh)
                     state, metrics = train_step(state, sb, key)
                     seen += args.train_batch_size
@@ -291,6 +346,7 @@ def main(argv: Optional[list] = None) -> dict:
             b = batch["labels"].shape[0]
             padded = pad_batch(batch, args.eval_batch_size)
             padded.pop("pad_mask")
+            padded = featurize("test", len(test_ds), padded)
             sb = shard_batch(padded, mesh)
             p, _ = eval_step(state.params, state.visual_params, sb)
             preds.append(fetch_global(p)[:b])

@@ -122,6 +122,7 @@ def evaluate_generation(model, state, visual, dataset, tokenizer,
         if max_samples is not None and seen >= max_samples:
             break
         texts = batch.pop("text")
+        batch.pop("_idx", None)
         aspects = batch.pop("target_aspect")
         labels = batch.pop("labels")
         dec_ids = batch.pop("dec_input_ids")

@@ -250,6 +250,7 @@ def main(argv: Optional[list] = None) -> dict:
             t0, seen, ep_loss, n = time.time(), 0, 0.0, 0
             for i, batch in enumerate(loader):
                 texts = batch.pop("text", None)
+                batch.pop("_idx", None)
                 batch.pop("target_aspect", None)
                 sb = shard_batch(batch, mesh)
                 state, metrics = train_step(state, sb, key)

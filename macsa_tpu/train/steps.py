@@ -84,10 +84,20 @@ def fcmf_forward_all_aspects(model: FCMF, params, visual: VisualFeatures,
                              deterministic: bool = True,
                              dropout_rng: Optional[Array] = None,
                              fine_tune_cnn: bool = False) -> Array:
-    """Full FCMF forward over all aspect views -> logits [B, A, num_labels]."""
-    grid, roi = extract_visual(visual, visual_params, batch["images"],
-                               batch["roi_images"], stop_grad=not fine_tune_cnn,
-                               out_dtype=model.config.model.jnp_dtype)
+    """Full FCMF forward over all aspect views -> logits [B, A, num_labels].
+
+    If the batch carries precomputed `grid`/`roi` features (the frozen-CNN
+    epoch cache, see finetune.VisualFeatureCache), the ResNet stack is
+    skipped entirely."""
+    if "grid" in batch:
+        dt = model.config.model.jnp_dtype
+        grid = jax.lax.stop_gradient(batch["grid"].astype(dt))
+        roi = jax.lax.stop_gradient(batch["roi"].astype(dt))
+    else:
+        grid, roi = extract_visual(visual, visual_params, batch["images"],
+                                   batch["roi_images"],
+                                   stop_grad=not fine_tune_cnn,
+                                   out_dtype=model.config.model.jnp_dtype)
     text, b, a = _fold_aspects(batch)
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     logits = model.apply(

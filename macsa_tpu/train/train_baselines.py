@@ -193,6 +193,7 @@ def main(argv: Optional[list] = None) -> dict:
         trues, preds, texts = [], [], []
         for batch in loader:
             texts.extend(batch.pop("text", []))
+            batch.pop("_idx", None)
             b = batch["labels"].shape[0]
             padded = pad_batch(batch, args.eval_batch_size)
             padded.pop("pad_mask")
@@ -214,6 +215,7 @@ def main(argv: Optional[list] = None) -> dict:
             t0, seen = time.time(), 0
             for i, batch in enumerate(loader):
                 batch.pop("text", None)
+                batch.pop("_idx", None)
                 sb = shard_batch(batch, mesh)
                 state, metrics = train_step(state, sb, key)
                 seen += args.train_batch_size
