@@ -105,6 +105,9 @@ class IAOGDataset:
         dec_ids, labels = build_decoder_ids(aspect, sample["words"],
                                             self.tokenizer, self.max_len_decoder)
         out = {
+            # original review index: samples from the same review share
+            # images, so the frozen-CNN feature cache keys on this
+            "orig_idx": np.asarray(sample["original_idx"], np.int32),
             "enc_input_ids": np.asarray(enc["input_ids"], np.int32),
             "token_type_ids": np.asarray(enc["token_type_ids"], np.int32),
             "attention_mask": np.asarray(enc["attention_mask"], np.int32),

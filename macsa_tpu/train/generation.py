@@ -123,6 +123,7 @@ def evaluate_generation(model, state, visual, dataset, tokenizer,
             break
         texts = batch.pop("text")
         batch.pop("_idx", None)
+        batch.pop("orig_idx", None)
         aspects = batch.pop("target_aspect")
         labels = batch.pop("labels")
         dec_ids = batch.pop("dec_input_ids")

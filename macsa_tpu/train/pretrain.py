@@ -61,6 +61,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3")
     p.add_argument("--mp", type=int, default=1,
                    help="tensor-parallel mesh axis size (parallel.sharding)")
+    p.add_argument("--cache_visual_features", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="cache frozen-CNN visual features in HBM, keyed by "
+                        "the ORIGINAL review index (IAOG samples from the "
+                        "same review share images). auto = on unless "
+                        "--fine_tune_cnn")
     p.add_argument("--beam_size", type=int, default=3)
     p.add_argument("--debug_decode_every", type=int, default=10,
                    help="decode 2 samples every N steps (reference :340-372)")
@@ -210,6 +216,43 @@ def main(argv: Optional[list] = None) -> dict:
     train_step = make_pretrain_train_step(model, visual, mesh=mesh,
                                           state_sharding=state_shard)
 
+    # --- frozen-CNN visual feature cache, keyed by ORIGINAL review index
+    # (IAOG expands each review into one sample per aspect — all of them
+    # share the same images, so the cache dedupes across aspects too).
+    use_feature_cache = (args.cache_visual_features == "on" or
+                         (args.cache_visual_features == "auto"
+                          and not args.fine_tune_cnn))
+    if use_feature_cache:
+        from macsa_tpu.train.feature_cache import VisualFeatureCache
+        extract_jit = jax.jit(lambda vp, im, ri: extract_visual(
+            visual, vp, im, ri, out_dtype=cfg.model.jnp_dtype))
+        fc_state = {"cache": None, "seen": None}
+
+    def featurize(n_records: int, batch: dict) -> dict:
+        if not use_feature_cache:
+            batch.pop("orig_idx", None)
+            return batch
+        idx = np.asarray(batch.pop("orig_idx"))
+        images = batch.pop("images")
+        roi_images = batch.pop("roi_images")
+        if fc_state["cache"] is None:
+            fc_state["cache"] = VisualFeatureCache(
+                n_records, cfg.num_imgs, cfg.num_roi, cfg.num_patches,
+                mesh=mesh)
+            fc_state["seen"] = np.zeros(n_records, np.bool_)
+            logger.info(f"visual feature cache: "
+                        f"{fc_state['cache'].nbytes / 2**20:.0f} MiB HBM")
+        valid = idx >= 0
+        if fc_state["seen"][idx[valid]].all():
+            grid, roi = fc_state["cache"].lookup(idx)
+        else:
+            vis = shard_batch({"im": images, "ri": roi_images}, mesh)
+            grid, roi = extract_jit(state.visual_params, vis["im"], vis["ri"])
+            fc_state["cache"].update(idx, grid, roi)
+            fc_state["seen"][idx[valid]] = True
+        batch["grid"], batch["roi"] = grid, roi
+        return batch
+
     # In-training debug decoding (run_pretraining_fcmf.py:340-372): every N
     # steps, greedy-decode 2 samples and log prediction vs label.
     bos_id = tokenizer.bos_token_id or tokenizer.cls_token_id or 0
@@ -217,9 +260,13 @@ def main(argv: Optional[list] = None) -> dict:
 
     @jax.jit
     def _debug_decode(params, visual_params, batch2):
-        grid, roi = extract_visual(visual, visual_params, batch2["images"],
-                                   batch2["roi_images"],
-                                   out_dtype=cfg.model.jnp_dtype)
+        if "grid" in batch2:
+            grid = batch2["grid"].astype(cfg.model.jnp_dtype)
+            roi = batch2["roi"].astype(cfg.model.jnp_dtype)
+        else:
+            grid, roi = extract_visual(visual, visual_params, batch2["images"],
+                                       batch2["roi_images"],
+                                       out_dtype=cfg.model.jnp_dtype)
         return model.apply(
             {"params": params}, batch2["enc_input_ids"], grid, roi,
             batch2["roi_coors"], bos_id, eos_id,
@@ -252,6 +299,7 @@ def main(argv: Optional[list] = None) -> dict:
                 texts = batch.pop("text", None)
                 batch.pop("_idx", None)
                 batch.pop("target_aspect", None)
+                batch = featurize(len(train_ds.records), batch)
                 sb = shard_batch(batch, mesh)
                 state, metrics = train_step(state, sb, key)
                 seen += args.train_batch_size

@@ -190,10 +190,15 @@ def make_pretrain_train_step(model: FCMFSeq2Seq, visual: VisualFeatures,
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            grid, roi = extract_visual(
-                visual, state.visual_params, batch["images"],
-                batch["roi_images"], stop_grad=True,
-                out_dtype=model.config.model.jnp_dtype)
+            if "grid" in batch:  # frozen-CNN feature cache (feature_cache.py)
+                dt = model.config.model.jnp_dtype
+                grid = jax.lax.stop_gradient(batch["grid"].astype(dt))
+                roi = jax.lax.stop_gradient(batch["roi"].astype(dt))
+            else:
+                grid, roi = extract_visual(
+                    visual, state.visual_params, batch["images"],
+                    batch["roi_images"], stop_grad=True,
+                    out_dtype=model.config.model.jnp_dtype)
             logits = model.apply(
                 {"params": params},
                 batch["enc_input_ids"], batch["dec_input_ids"], grid, roi,
