@@ -89,6 +89,10 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE", "/root/.cache/jax_comp"))
+    # rbg dropout-mask generation is ~2x cheaper than threefry on this TPU
+    # (measured: 6.7 vs 13 ms/step of mask RNG at batch 8)
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("BENCH_PRNG", "rbg"))
 
     from macsa_tpu.config import FCMFConfig, ModelConfig, ResNetConfig, TextEncoderConfig
     from macsa_tpu.models.fcmf import FCMF

@@ -49,6 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--prng", type=str, default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="JAX PRNG impl; rbg halves dropout-mask cost on TPU")
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
     p.add_argument("--bf16", action="store_true", default=True)
@@ -114,6 +117,7 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.utils.logging import MetricWriter, setup_logging
 
     args = build_argparser().parse_args(argv)
+    jax.config.update("jax_default_prng_impl", args.prng)
     data_dir = args.data_dir or args.pretrained_data_dir
     maybe_initialize_distributed()
     n_hosts, host_id = jax.process_count(), jax.process_index()
