@@ -50,6 +50,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_seq_length", type=int, default=170)
     p.add_argument("--output_file", type=str, default=None)
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk")
+    p.add_argument("--resnet_stages", type=str, default="3,8,36,3",
+                   help="ResNet stage sizes; must match the training setup")
     return p
 
 
@@ -92,7 +94,8 @@ def main(argv: Optional[list] = None) -> dict:
                      decoder_cross_mask_mode=args.cross_mask_mode)
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
     model = FCMF(cfg)
-    visual = VisualFeatures(ResNetConfig(dtype="float32"))
+    visual = VisualFeatures(ResNetConfig(dtype="float32", stage_sizes=tuple(
+        int(s) for s in args.resnet_stages.split(","))))
 
     # detector
     if args.yolo_weights:

@@ -86,3 +86,29 @@ def test_pretrain_then_transfer(synth):
     with open(os.path.join(out_dir, "train.log")) as f:
         log = f.read()
     assert "Transferring IAOG encoder" in log
+
+
+@pytest.mark.slow
+def test_inference_cli_end_to_end(synth):
+    """Single-sample inference on the checkpoint trained above (runs after
+    test_finetune_driver_end_to_end in file order)."""
+    from macsa_tpu.config import ASPECTS, POLARITIES
+    from macsa_tpu.inference.cli import main
+
+    ckpt = synth / "out_ft" / "best"
+    assert ckpt.exists(), "finetune e2e test must run first"
+    out_file = str(synth / "inference_out.json")
+    result = main([
+        "--checkpoint", str(ckpt),
+        "--pretrained_hf_model", str(synth / "tok"),
+        "--roi_csv", str(synth / "data" / "roi_data.csv"),
+        "--num_imgs", "2", "--num_rois", "2",
+        "--resnet_stages", "1,1,1,1",
+        "--text", "khách sạn rất đẹp phòng sạch sẽ",
+        "--image_list", str(synth / "images" / "img_000.png"),
+        "--output_file", out_file])
+    assert set(result) == set(ASPECTS)
+    assert all(p in POLARITIES for p in result.values())
+    with open(out_file) as f:
+        dumped = json.load(f)
+    assert dumped["prediction"] == result and "normalized" in dumped
