@@ -10,7 +10,7 @@ hashable dataclasses so they can be closed over by jitted functions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

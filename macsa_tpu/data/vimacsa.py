@@ -23,7 +23,7 @@ tags with `list(set(...))` whose order is hash-seed dependent
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import numpy as np
 

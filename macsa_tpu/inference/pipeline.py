@@ -19,7 +19,6 @@ coordinates` then `image[:, x1:x2, y1:y2]`).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -19,7 +19,7 @@ einsum attention of macsa_tpu.models.layers.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ fusion effectively runs unmasked).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

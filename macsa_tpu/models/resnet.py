@@ -21,7 +21,7 @@ Design choices (TPU-first, documented deviations):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

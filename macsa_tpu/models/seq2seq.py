@@ -20,8 +20,6 @@ reference's per-sample Python beams with per-beam cache cloning
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Optional, Tuple
 
 import jax

@@ -22,8 +22,6 @@ params tree and to the optimizer-state mu/nu trees that mirror it):
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

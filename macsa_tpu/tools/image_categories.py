@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

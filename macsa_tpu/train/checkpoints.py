@@ -17,7 +17,7 @@ Reproduces the reference's checkpoint semantics
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import numpy as np

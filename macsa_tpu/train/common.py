@@ -12,11 +12,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
-import numpy as np
-
-from macsa_tpu.config import FCMFConfig, ResNetConfig, TextEncoderConfig
+from macsa_tpu.config import TextEncoderConfig
 from macsa_tpu.data.images import roi_boxes_from_csv
 from macsa_tpu.data.text_preprocess import TextNormalize, convert_unicode
 

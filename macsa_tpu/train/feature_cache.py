@@ -15,7 +15,7 @@ reference shapes (I=7, R=4), ~4.4 GB for the full ViMACSA train split.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

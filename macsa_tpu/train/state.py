@@ -10,7 +10,7 @@ everything; the visual backbone params are a separate, non-optimized subtree
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,7 @@ factory closing over the models, then `jax.jit`-ed with NamedShardings.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

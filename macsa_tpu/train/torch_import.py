@@ -27,7 +27,7 @@ Module mapping (torch name -> flax path):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
