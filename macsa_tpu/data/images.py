@@ -26,7 +26,16 @@ COORD_NORM = 512.0
 
 
 def decode_image(path: str) -> Optional[np.ndarray]:
-    """Read an image file -> uint8 HWC RGB array, or None on failure."""
+    """Read an image file -> uint8 HWC RGB array, or None on failure.
+
+    Tries the native libjpeg/libpng decoder first (macsa_tpu/native — GIL
+    released, scales across loader threads), then PIL for anything the
+    native path can't handle (other formats, CMYK JPEGs, missing
+    toolchain)."""
+    from macsa_tpu import native
+    out = native.decode(path)
+    if out is not None:
+        return out
     try:
         from PIL import Image
         with Image.open(path) as im:
@@ -36,17 +45,28 @@ def decode_image(path: str) -> Optional[np.ndarray]:
 
 
 def resize_u8(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
-    """uint8 HWC -> uint8 [size, size, 3] via PIL bilinear+antialias resize
-    (the semantics of torchvision Resize(antialias=True))."""
+    """uint8 HWC -> uint8 [size, size, 3] via antialiased bilinear resize
+    (the semantics of torchvision Resize(antialias=True)).  Native C++
+    triangle-filter kernel when built, PIL otherwise (same algorithm;
+    outputs agree within +-2/255 — Pillow quantizes filter coefficients)."""
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
+    from macsa_tpu import native
+    out = native.resize_u8(img, size)
+    if out is not None:
+        return out
     from PIL import Image
-    if img.shape[0] != size or img.shape[1] != size:
-        pil = Image.fromarray(img)
-        img = np.asarray(pil.resize((size, size), Image.BILINEAR), np.uint8)
-    return img
+    pil = Image.fromarray(img)
+    return np.asarray(pil.resize((size, size), Image.BILINEAR), np.uint8)
 
 
 def resize_normalize(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
-    """uint8 HWC -> normalized float32 [size, size, 3]."""
+    """uint8 HWC -> normalized float32 [size, size, 3] (fused native kernel
+    when available)."""
+    from macsa_tpu import native
+    out = native.resize_normalize(img, size, IMAGENET_MEAN, IMAGENET_STD)
+    if out is not None:
+        return out
     x = resize_u8(img, size).astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
