@@ -13,7 +13,17 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU kills the process (LOG(FATAL) in rendezvous.cc) when the 8
+# simulated devices' execution threads fail to join a collective within
+# 40s.  On a loaded 1-core host that deadline is routinely missed simply
+# because the threads haven't been *scheduled* yet — raise it far above
+# any realistic scheduling delay.  (Root-caused 2026-08-17: the full suite
+# aborted with a silent SIGABRT mid-e2e-test whenever the box was slow.)
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax  # noqa: E402
 
