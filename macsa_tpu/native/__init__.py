@@ -126,7 +126,7 @@ def decode(path: str) -> Optional[np.ndarray]:
 def resize_u8(img: np.ndarray, size: int) -> Optional[np.ndarray]:
     """Antialiased triangle resize, u8 HWC -> u8 [size, size, 3]."""
     lib = load()
-    if lib is None:
+    if lib is None or img.ndim != 3 or img.shape[2] != 3:
         return None
     img = np.ascontiguousarray(img, np.uint8)
     out = np.empty((size, size, 3), np.uint8)
@@ -139,7 +139,7 @@ def resize_normalize(img: np.ndarray, size: int, mean: np.ndarray,
                      std: np.ndarray) -> Optional[np.ndarray]:
     """Fused resize + (x/255 - mean)/std, u8 HWC -> f32 [size, size, 3]."""
     lib = load()
-    if lib is None:
+    if lib is None or img.ndim != 3 or img.shape[2] != 3:
         return None
     img = np.ascontiguousarray(img, np.uint8)
     out = np.empty((size, size, 3), np.float32)

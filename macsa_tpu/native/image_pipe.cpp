@@ -51,7 +51,8 @@ uint8_t* decode_jpeg(FILE* f, int* h, int* w) {
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = jpeg_err_exit;
-    uint8_t* out = nullptr;
+    // volatile: modified between setjmp and a possible longjmp (C99 7.13.2.1)
+    uint8_t* volatile out = nullptr;
     if (setjmp(jerr.jump)) {
         jpeg_destroy_decompress(&cinfo);
         free(out);
@@ -94,8 +95,8 @@ uint8_t* decode_png(FILE* f, int* h, int* w) {
         png_destroy_read_struct(&png, nullptr, nullptr);
         return nullptr;
     }
-    uint8_t* out = nullptr;
-    png_bytep* rows = nullptr;
+    uint8_t* volatile out = nullptr;
+    png_bytep* volatile rows = nullptr;
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);
         free(rows);
