@@ -103,6 +103,11 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # "full" (default, the headline metric) | "visual" (ResNet extraction
+    # only) | "model" (fusion fwd+bwd+update on cached features) — the
+    # breakdown modes print the same JSON schema with a mode-suffixed metric
+    # name and are used to attribute step time between the two hot paths.
+    mode = os.environ.get("BENCH_MODE", "full")
 
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16"),
                      text=TextEncoderConfig(dtype="bfloat16"))
@@ -131,10 +136,37 @@ def main():
     step = make_finetune_train_step(model, visual)
     key = jax.random.PRNGKey(0)
 
-    def run_chain(state, n):
-        for _ in range(n):
-            state, metrics = step(state, batch, key)
-        return state, metrics
+    if mode == "visual":
+        # ResNet extraction alone; chained via a zero-valued data dependency
+        # so the tail fetch cannot complete before every step has run.
+        vstep = jax.jit(lambda vp, im, ri: extract_visual(visual, vp, im, ri))
+
+        def run_chain(state, n):
+            images = batch["images"]
+            for _ in range(n):
+                grid, roi = vstep(state.visual_params, images,
+                                  batch["roi_images"])
+                images = images + grid[0, 0, 0, 0] * 0
+            return state, {"loss": grid[0, 0, 0, 0]}
+    elif mode == "model":
+        # fusion fwd+bwd+update on cached features (the steady-state
+        # frozen-CNN epoch path); ResNet runs once outside the timed chain.
+        grid_v, roi_v = jax.jit(
+            lambda vp, im, ri: extract_visual(visual, vp, im, ri))(
+                visual_params, batch["images"], batch["roi_images"])
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("images", "roi_images")}
+        batch["grid"], batch["roi"] = grid_v, roi_v
+
+        def run_chain(state, n):
+            for _ in range(n):
+                state, metrics = step(state, batch, key)
+            return state, metrics
+    else:
+        def run_chain(state, n):
+            for _ in range(n):
+                state, metrics = step(state, batch, key)
+            return state, metrics
 
     t0 = time.time()
     state, metrics = run_chain(state, 1)
@@ -155,8 +187,9 @@ def main():
     pairs_per_s = samples_per_s * cfg.num_imgs
     print(f"# {dt / steps * 1e3:.1f} ms/step, {samples_per_s:.2f} samples/s "
           f"(final loss {final:.3f})", file=sys.stderr)
+    suffix = "" if mode == "full" else f"_{mode}"
     print(json.dumps({
-        "metric": "fcmf_finetune_image_text_pairs_per_s",
+        "metric": f"fcmf_finetune_image_text_pairs_per_s{suffix}",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
