@@ -109,8 +109,13 @@ def main():
     # name and are used to attribute step time between the two hot paths.
     mode = os.environ.get("BENCH_MODE", "full")
 
-    cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16"),
-                     text=TextEncoderConfig(dtype="bfloat16"))
+    # Pallas fused attention (ops/fused_attention.py) on by default; set
+    # BENCH_FUSED=0 to measure the plain-XLA attention path
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
+                                       fused_attention=fused),
+                     text=TextEncoderConfig(dtype="bfloat16",
+                                            fused_attention=fused))
     rcfg = ResNetConfig()
     model, visual = FCMF(cfg), VisualFeatures(rcfg)
 

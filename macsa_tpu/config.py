@@ -46,6 +46,9 @@ class ModelConfig:
     layer_norm_eps: float = 1e-12
     # compute dtype for activations; params are always float32
     dtype: str = _dtype_field()
+    # fuse softmax+dropout+PV into one Pallas kernel where applicable
+    # (ops/fused_attention.py); off by default — enabled by drivers on TPU
+    fused_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -77,6 +80,7 @@ class TextEncoderConfig:
     attention_probs_dropout_prob: float = 0.1
     initializer_range: float = 0.02
     dtype: str = _dtype_field()
+    fused_attention: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -118,6 +118,15 @@ class BertSelfAttention(nn.Module):
     Covers both BertSelfAttention (mm_modeling.py:174-219) and BertCoAttention
     (mm_modeling.py:221-266) of the reference — they differ only in whether
     K/V come from a second sequence.
+
+    With `config.fused_attention` the softmax+dropout+PV chain runs as one
+    Pallas kernel (ops/fused_attention.py) whenever the call site matches the
+    kernel's contract — self-attention (Lq == Lk >= 32) under a [B,1,1,Lk]
+    padding mask, i.e. exactly the text-encoder blocks.  Other call sites
+    (CLS-query-sliced branches, the 15-token fusion stage, cross-attention)
+    keep the XLA path.  Deterministic outputs are identical math; training
+    dropout masks come from the on-core PRNG instead of jax.random
+    (statistically equivalent iid Bernoulli keeps).
     """
 
     config: ModelConfig
@@ -135,9 +144,25 @@ class BertSelfAttention(nn.Module):
         v = split_heads(dense("value")(kv_states), cfg.num_attention_heads)
         rng = (None if deterministic or cfg.attention_probs_dropout_prob == 0.0
                else self.make_rng("dropout"))
-        ctx = attention_core(q, k, v, additive_mask,
-                             dropout_rate=cfg.attention_probs_dropout_prob,
-                             deterministic=deterministic, dropout_rng=rng)
+        if (cfg.fused_attention and additive_mask is not None
+                and additive_mask.ndim == 4 and additive_mask.shape[1] == 1
+                and additive_mask.shape[2] == 1
+                and q.shape[2] == k.shape[2] and q.shape[2] >= 32):
+            from macsa_tpu.ops.fused_attention import fused_self_attention
+            rate = 0.0 if rng is None else cfg.attention_probs_dropout_prob
+            if rng is None:
+                seed = jnp.zeros((1,), jnp.int32)
+            else:
+                seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1,
+                                          dtype=jnp.int32)
+            interpret = jax.default_backend() == "cpu"
+            ctx = fused_self_attention(
+                q, k, v, additive_mask[:, 0, 0, :].astype(jnp.float32),
+                seed, rate, interpret)
+        else:
+            ctx = attention_core(q, k, v, additive_mask,
+                                 dropout_rate=cfg.attention_probs_dropout_prob,
+                                 deterministic=deterministic, dropout_rng=rng)
         return merge_heads(ctx)
 
 

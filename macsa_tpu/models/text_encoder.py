@@ -40,6 +40,7 @@ def _block_config(cfg: TextEncoderConfig) -> ModelConfig:
         layer_norm_eps=cfg.layer_norm_eps,
         initializer_range=cfg.initializer_range,
         dtype=cfg.dtype,
+        fused_attention=cfg.fused_attention,
     )
 
 

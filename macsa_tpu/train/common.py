@@ -82,6 +82,18 @@ def load_tokenizer(pretrained_path: str):
         AutoTokenizer.from_pretrained(pretrained_path, local_files_only=True))
 
 
+def resolve_fused_attention(flag: str) -> bool:
+    """'on'/'off'/'auto' -> bool; auto enables the Pallas fused-attention
+    path on accelerator backends and keeps the XLA path on CPU (where the
+    kernel would run interpreted)."""
+    if flag == "on":
+        return True
+    if flag == "off":
+        return False
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
 def build_text_config(pretrained_path: Optional[str],
                       dtype: str = "bfloat16") -> TextEncoderConfig:
     if pretrained_path and os.path.exists(os.path.join(pretrained_path,

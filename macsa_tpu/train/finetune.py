@@ -20,6 +20,7 @@ Run: python -m macsa_tpu.train.finetune --do_train --do_eval ...
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -76,6 +77,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "NOTE: uint8 elementwise compute is very slow on some "
                         "TPU stacks — enable only when the host link is the "
                         "bottleneck")
+    p.add_argument("--fused_attention", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas fused softmax+dropout+PV attention for the "
+                        "text-encoder blocks; auto = on for TPU backends")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3",
@@ -128,8 +133,12 @@ def main(argv: Optional[list] = None) -> dict:
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
-    text_cfg = common.build_text_config(args.pretrained_hf_model, dtype)
-    cfg = FCMFConfig(model=ModelConfig(dtype=dtype), text=text_cfg,
+    fused = common.resolve_fused_attention(args.fused_attention)
+    text_cfg = dataclasses.replace(
+        common.build_text_config(args.pretrained_hf_model, dtype),
+        fused_attention=fused)
+    cfg = FCMFConfig(model=ModelConfig(dtype=dtype, fused_attention=fused),
+                     text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,
                      alpha=args.alpha, max_text_len=args.max_seq_length,
                      decoder_cross_mask_mode=args.cross_mask_mode,

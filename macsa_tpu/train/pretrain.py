@@ -13,6 +13,7 @@ Run: python -m macsa_tpu.train.pretrain --do_train ...
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -70,6 +71,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the ORIGINAL review index (IAOG samples from the "
                         "same review share images). auto = on unless "
                         "--fine_tune_cnn")
+    p.add_argument("--fused_attention", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas fused softmax+dropout+PV attention for the "
+                        "text-encoder blocks; auto = on for TPU backends")
     p.add_argument("--beam_size", type=int, default=3)
     p.add_argument("--debug_decode_every", type=int, default=10,
                    help="decode 2 samples every N steps (reference :340-372)")
@@ -129,10 +134,14 @@ def main(argv: Optional[list] = None) -> dict:
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
-    text_cfg = common.build_text_config(args.pretrained_hf_model, dtype)
+    fused = common.resolve_fused_attention(args.fused_attention)
+    text_cfg = dataclasses.replace(
+        common.build_text_config(args.pretrained_hf_model, dtype),
+        fused_attention=fused)
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
     vocab_size = len(tokenizer)
-    cfg = FCMFConfig(model=ModelConfig(dtype=dtype), text=text_cfg,
+    cfg = FCMFConfig(model=ModelConfig(dtype=dtype, fused_attention=fused),
+                     text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,
                      alpha=args.alpha, max_text_len=args.max_seq_length,
                      decoder_cross_mask_mode=args.cross_mask_mode,

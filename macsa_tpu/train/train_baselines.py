@@ -50,6 +50,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--prng", type=str, default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="JAX PRNG impl; rbg halves dropout-mask cost on TPU")
+    p.add_argument("--fused_attention", type=str, default="auto",
+                   choices=["auto", "on", "off"])
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
     p.add_argument("--do_test", action="store_true")
@@ -94,7 +96,10 @@ def main(argv: Optional[list] = None) -> dict:
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
-    text_cfg = common.build_text_config(args.pretrained_hf_model, dtype)
+    import dataclasses
+    text_cfg = dataclasses.replace(
+        common.build_text_config(args.pretrained_hf_model, dtype),
+        fused_attention=common.resolve_fused_attention(args.fused_attention))
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
 
     uses_visual = args.model in ("mroberta", "tomroberta")
