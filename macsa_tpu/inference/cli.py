@@ -87,11 +87,9 @@ def main(argv: Optional[list] = None) -> dict:
     args = build_argparser().parse_args(argv)
     logger = setup_logging(None)
 
-    import dataclasses
     fused = common.resolve_fused_attention("auto")
-    text_cfg = dataclasses.replace(
-        common.build_text_config(args.pretrained_hf_model, "float32"),
-        fused_attention=fused)
+    text_cfg = common.build_text_config(args.pretrained_hf_model, "float32",
+                                        fused_attention=fused)
     cfg = FCMFConfig(model=ModelConfig(dtype="float32", fused_attention=fused),
                      text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,

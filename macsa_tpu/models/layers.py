@@ -144,18 +144,21 @@ class BertSelfAttention(nn.Module):
         v = split_heads(dense("value")(kv_states), cfg.num_attention_heads)
         rng = (None if deterministic or cfg.attention_probs_dropout_prob == 0.0
                else self.make_rng("dropout"))
+        rate = 0.0 if rng is None else cfg.attention_probs_dropout_prob
+        interpret = jax.default_backend() == "cpu"
         if (cfg.fused_attention and additive_mask is not None
                 and additive_mask.ndim == 4 and additive_mask.shape[1] == 1
                 and additive_mask.shape[2] == 1
-                and q.shape[2] == k.shape[2] and q.shape[2] >= 32):
+                and q.shape[2] == k.shape[2] and q.shape[2] >= 32
+                # interpret mode has no lowering for the in-kernel PRNG —
+                # training dropout on CPU stays on the XLA path
+                and not (interpret and rate > 0.0)):
             from macsa_tpu.ops.fused_attention import fused_self_attention
-            rate = 0.0 if rng is None else cfg.attention_probs_dropout_prob
             if rng is None:
                 seed = jnp.zeros((1,), jnp.int32)
             else:
                 seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1,
                                           dtype=jnp.int32)
-            interpret = jax.default_backend() == "cpu"
             ctx = fused_self_attention(
                 q, k, v, additive_mask[:, 0, 0, :].astype(jnp.float32),
                 seed, rate, interpret)

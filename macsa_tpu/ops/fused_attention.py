@@ -76,7 +76,7 @@ def _probs(q, k, mask_row, lk, scale):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                lk, scale, rate, num_heads):
+                lk, scale, rate):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,7 +95,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, lk, scale, rate, num_heads):
+                dq_ref, dk_ref, dv_ref, *, lk, scale, rate):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -187,7 +187,7 @@ def _fwd(q, k, v, mask, seed, rate, interpret):
     b, h, lq, d = q.shape
     qp, kp, vp, mp, lqp, lkp = _prep(q, k, v, mask)
     kern = functools.partial(_fwd_kernel, lk=k.shape[2],
-                             scale=1.0 / math.sqrt(d), rate=rate, num_heads=h)
+                             scale=1.0 / math.sqrt(d), rate=rate)
     (out,) = _call(kern, seed, (qp, kp, vp), mp,
                    [jax.ShapeDtypeStruct((b * h, lqp, d), q.dtype)], h,
                    interpret)
@@ -202,7 +202,7 @@ def _bwd(rate, interpret, res, g):
     qp, kp, vp, mp, lqp, lkp = _prep(q, k, v, mask)
     gp = _pad_axis(g.reshape(b * h, lq, d), 1, lqp)
     kern = functools.partial(_bwd_kernel, lk=lk, scale=1.0 / math.sqrt(d),
-                             rate=rate, num_heads=h)
+                             rate=rate)
     dq, dk, dv = _call(kern, seed, (qp, kp, vp, gp), mp,
                        [jax.ShapeDtypeStruct((b * h, lqp, d), q.dtype),
                         jax.ShapeDtypeStruct((b * h, lkp, d), k.dtype),

@@ -84,23 +84,27 @@ def load_tokenizer(pretrained_path: str):
 
 def resolve_fused_attention(flag: str) -> bool:
     """'on'/'off'/'auto' -> bool; auto enables the Pallas fused-attention
-    path on accelerator backends and keeps the XLA path on CPU (where the
-    kernel would run interpreted)."""
+    path only on TPU backends (the kernel is Mosaic/TPU-only; CPU keeps the
+    XLA path, and unknown accelerators are not assumed compatible)."""
     if flag == "on":
         return True
     if flag == "off":
         return False
     import jax
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def build_text_config(pretrained_path: Optional[str],
-                      dtype: str = "bfloat16") -> TextEncoderConfig:
+                      dtype: str = "bfloat16",
+                      fused_attention: bool = False) -> TextEncoderConfig:
+    import dataclasses
     if pretrained_path and os.path.exists(os.path.join(pretrained_path,
                                                        "config.json")):
         with open(os.path.join(pretrained_path, "config.json")) as f:
-            return TextEncoderConfig.from_hf_config(json.load(f), dtype=dtype)
-    return TextEncoderConfig(dtype=dtype)
+            cfg = TextEncoderConfig.from_hf_config(json.load(f), dtype=dtype)
+    else:
+        cfg = TextEncoderConfig(dtype=dtype)
+    return dataclasses.replace(cfg, fused_attention=fused_attention)
 
 
 def import_text_params(params: Dict[str, Any], pretrained_path: str,

@@ -20,7 +20,6 @@ Run: python -m macsa_tpu.train.finetune --do_train --do_eval ...
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
 from typing import Optional
@@ -134,9 +133,8 @@ def main(argv: Optional[list] = None) -> dict:
 
     dtype = "bfloat16" if args.bf16 else "float32"
     fused = common.resolve_fused_attention(args.fused_attention)
-    text_cfg = dataclasses.replace(
-        common.build_text_config(args.pretrained_hf_model, dtype),
-        fused_attention=fused)
+    text_cfg = common.build_text_config(args.pretrained_hf_model, dtype,
+                                        fused_attention=fused)
     cfg = FCMFConfig(model=ModelConfig(dtype=dtype, fused_attention=fused),
                      text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,

@@ -13,7 +13,6 @@ Run: python -m macsa_tpu.train.pretrain --do_train ...
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
 from typing import Optional
@@ -135,9 +134,8 @@ def main(argv: Optional[list] = None) -> dict:
 
     dtype = "bfloat16" if args.bf16 else "float32"
     fused = common.resolve_fused_attention(args.fused_attention)
-    text_cfg = dataclasses.replace(
-        common.build_text_config(args.pretrained_hf_model, dtype),
-        fused_attention=fused)
+    text_cfg = common.build_text_config(args.pretrained_hf_model, dtype,
+                                        fused_attention=fused)
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
     vocab_size = len(tokenizer)
     cfg = FCMFConfig(model=ModelConfig(dtype=dtype, fused_attention=fused),

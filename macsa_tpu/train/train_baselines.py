@@ -96,9 +96,8 @@ def main(argv: Optional[list] = None) -> dict:
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
-    import dataclasses
-    text_cfg = dataclasses.replace(
-        common.build_text_config(args.pretrained_hf_model, dtype),
+    text_cfg = common.build_text_config(
+        args.pretrained_hf_model, dtype,
         fused_attention=common.resolve_fused_attention(args.fused_attention))
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
 
