@@ -1,10 +1,20 @@
-"""Benchmark: FCMF Phase-2 fine-tune throughput on real hardware.
+"""Benchmark: FCMF throughput on real hardware, in image-text pairs/sec
+(samples/sec * 7 images) — the reference's headline metric.
 
-Measures full training-step throughput — batched ResNet-152 visual extraction
-(7 images + 28 ROI crops per sample) + 6 aspect-view FCMF forwards + backward
-+ AdamW update — in image-text pairs/sec (samples/sec * 7 images), the
-reference's headline throughput metric (BASELINE.md: 7.1 pairs/s on a Kaggle
-GPU at fp16, batch 2).
+BENCH_MODE selects the measured path (baselines from BASELINE.md):
+* full (default)  — Phase-2 fine-tune train step: batched ResNet-152 visual
+  extraction (7 images + 28 ROI crops/sample) + 6 aspect-view FCMF forwards
+  + backward + AdamW.  Baseline 7.1 pairs/s (Kaggle GPU fp16, batch 2).
+* pretrain        — Phase-1 IAOG seq2seq train step (FCMFEncoder + 12-block
+  decoder teacher forcing), batch 16 like the reference.  Baseline 33
+  pairs/s (Pretraining notebook epoch bars, 3.3-3.5 s/it).
+* inference       — eval-only path: visual extraction + 6-aspect batched
+  forward (inference.py:284-329's per-aspect loop, batched).  The reference
+  publishes no inference throughput; vs_baseline uses the 7.1 pairs/s
+  fine-tune figure as a LOWER bound on the reference (forward-only is
+  strictly faster than train).
+* visual / model  — breakdown modes: ResNet extraction alone / fusion
+  fwd+bwd+update on cached features.
 
 Timing method (axon tunnel quirks, measured 2026-08-16):
 * `block_until_ready` is broken on the axon plugin — it returns before the
@@ -28,7 +38,13 @@ import time
 
 import numpy as np
 
-BASELINE_PAIRS_PER_S = 7.1  # ViIM-FCMF fine-tune epoch bars (BASELINE.md)
+BASELINES = {  # pairs/s, BASELINE.md throughput table
+    "full": 7.1,       # ViIM-FCMF fine-tune epoch bars
+    "visual": 7.1,     # breakdown of the full step
+    "model": 7.1,      # breakdown of the full step
+    "pretrain": 33.0,  # IAOG pretraining epoch bars (batch 16)
+    "inference": 7.1,  # no published number; fine-tune rate = lower bound
+}
 
 
 def make_batch(rng, cfg, b, a=6):
@@ -101,13 +117,13 @@ def main():
     from macsa_tpu.train.state import TrainState
     from macsa_tpu.train.steps import extract_visual, make_finetune_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    # "full" (default, the headline metric) | "visual" (ResNet extraction
-    # only) | "model" (fusion fwd+bwd+update on cached features) — the
-    # breakdown modes print the same JSON schema with a mode-suffixed metric
-    # name and are used to attribute step time between the two hot paths.
     mode = os.environ.get("BENCH_MODE", "full")
+    if mode not in BASELINES:
+        raise SystemExit(f"unknown BENCH_MODE={mode!r}; "
+                         f"choose one of {sorted(BASELINES)}")
+    default_batch = "16" if mode == "pretrain" else "8"
+    batch_size = int(os.environ.get("BENCH_BATCH", default_batch))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     # Pallas fused attention (ops/fused_attention.py) on by default; set
     # BENCH_FUSED=0 to measure the plain-XLA attention path
@@ -117,31 +133,76 @@ def main():
                      text=TextEncoderConfig(dtype="bfloat16",
                                             fused_attention=fused))
     rcfg = ResNetConfig()
-    model, visual = FCMF(cfg), VisualFeatures(rcfg)
+    visual = VisualFeatures(rcfg)
 
     rng = np.random.default_rng(0)
     batch = make_batch(rng, cfg, batch_size)
+    key = jax.random.PRNGKey(0)
+    tx = make_adamw(linear_warmup_schedule(7e-5, 100, 10000),
+                    head_learning_rate=linear_warmup_schedule(7e-4, 100, 10000))
 
     t0 = time.time()
     visual_params = fast_init(visual.init, batch["images"][:1, :1])
     grid, roi = jax.eval_shape(
         lambda vp, im, ri: extract_visual(visual, vp, im, ri),
         visual_params, batch["images"][:1], batch["roi_images"][:1])
-    params = fast_init(
-        lambda k, *a: model.init(k, *a)["params"],
-        batch["input_ids"][:1, 0],
-        jnp.zeros(grid.shape, grid.dtype), jnp.zeros(roi.shape, roi.dtype),
-        batch["roi_coors"][:1], None, batch["attention_mask"][:1, 0],
-        batch["added_mask"][:1, 0])
-    tx = make_adamw(linear_warmup_schedule(7e-5, 100, 10000),
-                    head_learning_rate=linear_warmup_schedule(7e-4, 100, 10000))
-    state = TrainState.create(params, visual_params, tx)
+
+    if mode == "pretrain":
+        from macsa_tpu.config import DecoderConfig
+        from macsa_tpu.models.seq2seq import FCMFSeq2Seq
+        from macsa_tpu.train.steps import make_pretrain_train_step
+
+        dec_cfg = DecoderConfig(vocab_size=cfg.text.vocab_size,
+                                dtype="bfloat16")
+        model = FCMFSeq2Seq(cfg, dec_cfg)
+        t_dec = dec_cfg.max_decode_len
+        batch["enc_input_ids"] = batch.pop("input_ids")[:, 0]
+        for k in ("token_type_ids", "attention_mask", "added_mask"):
+            batch[k] = batch[k][:, 0]
+        batch["dec_input_ids"] = jnp.asarray(
+            rng.integers(2, cfg.text.vocab_size,
+                         size=(batch_size, t_dec)).astype(np.int32))
+        labels = np.roll(np.asarray(batch["dec_input_ids"]), -1, axis=1)
+        labels[:, -1] = -100  # pad -> ignore_index, iaog_dataset.py:89-96
+        batch["labels"] = jnp.asarray(labels)
+        params = fast_init(
+            lambda k, *a: model.init(k, *a)["params"],
+            batch["enc_input_ids"][:1], batch["dec_input_ids"][:1],
+            jnp.zeros(grid.shape, grid.dtype), jnp.zeros(roi.shape, roi.dtype),
+            batch["roi_coors"][:1], None, batch["attention_mask"][:1],
+            batch["added_mask"][:1])
+        state = TrainState.create(params, visual_params, tx)
+        step = make_pretrain_train_step(model, visual)
+    else:
+        model = FCMF(cfg)
+        params = fast_init(
+            lambda k, *a: model.init(k, *a)["params"],
+            batch["input_ids"][:1, 0],
+            jnp.zeros(grid.shape, grid.dtype), jnp.zeros(roi.shape, roi.dtype),
+            batch["roi_coors"][:1], None, batch["attention_mask"][:1, 0],
+            batch["added_mask"][:1, 0])
+        state = TrainState.create(params, visual_params, tx)
+        step = make_finetune_train_step(model, visual)
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    step = make_finetune_train_step(model, visual)
-    key = jax.random.PRNGKey(0)
+    if mode == "inference":
+        from macsa_tpu.train.steps import fcmf_forward_all_aspects
+        fwd = jax.jit(lambda p, vp, bb: fcmf_forward_all_aspects(
+            model, p, visual, vp, bb, deterministic=True))
+        ibatch = {k: v for k, v in batch.items() if k != "labels"}
 
-    if mode == "visual":
+        def run_chain(state, n):
+            images = ibatch["images"]
+            logits = None
+            for _ in range(n):
+                bb = dict(ibatch)
+                bb["images"] = images
+                logits = fwd(state.params, state.visual_params, bb)
+                # zero-valued data dependency chains the steps so the tail
+                # fetch cannot complete before every forward has run
+                images = images + logits[0, 0, 0] * 0
+            return state, {"loss": logits[0, 0, 0]}
+    elif mode == "visual":
         # ResNet extraction alone; chained via a zero-valued data dependency
         # so the tail fetch cannot complete before every step has run.
         vstep = jax.jit(lambda vp, im, ri: extract_visual(visual, vp, im, ri))
@@ -192,12 +253,16 @@ def main():
     pairs_per_s = samples_per_s * cfg.num_imgs
     print(f"# {dt / steps * 1e3:.1f} ms/step, {samples_per_s:.2f} samples/s "
           f"(final loss {final:.3f})", file=sys.stderr)
-    suffix = "" if mode == "full" else f"_{mode}"
+    if mode in ("pretrain", "inference"):
+        metric = f"fcmf_{mode}_image_text_pairs_per_s"
+    else:
+        suffix = "" if mode == "full" else f"_{mode}"
+        metric = f"fcmf_finetune_image_text_pairs_per_s{suffix}"
     print(json.dumps({
-        "metric": f"fcmf_finetune_image_text_pairs_per_s{suffix}",
+        "metric": metric,
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 2),
+        "vs_baseline": round(pairs_per_s / BASELINES[mode], 2),
     }))
 
 

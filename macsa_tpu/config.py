@@ -49,6 +49,11 @@ class ModelConfig:
     # fuse softmax+dropout+PV into one Pallas kernel where applicable
     # (ops/fused_attention.py); off by default — enabled by drivers on TPU
     fused_attention: bool = False
+    # run the Pallas kernel in interpret mode (CPU debugging/testing only).
+    # Resolved by the drivers from the platform the computation executes on
+    # (train.common.resolve_fused_attention) — NOT inferred at trace time,
+    # where the target platform is unknowable.
+    fused_attention_interpret: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -81,6 +86,7 @@ class TextEncoderConfig:
     initializer_range: float = 0.02
     dtype: str = _dtype_field()
     fused_attention: bool = False
+    fused_attention_interpret: bool = False
 
     @property
     def head_dim(self) -> int:

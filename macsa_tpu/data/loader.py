@@ -19,7 +19,7 @@ import copy
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, Optional, Sequence
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -79,10 +79,31 @@ def collate(samples: Sequence[Dict[str, Any]]) -> Batch:
 
 
 class DataLoader:
+    """`cache=True` memoizes *light* samples only — every key EXCEPT the raw
+    pixel tensors (`pixel_keys`).  Caching whole samples would retain the
+    float32 pixels too (~21 MB/sample at reference shapes: 35 frames x
+    224^2 x 3 x 4B => ~60 GB for the 2,876-sample ViMACSA train split); the
+    light entries are a few KB each (tokens/labels/coords).
+
+    Pixels are re-read from the dataset whenever a batch still needs them,
+    decided per batch by `needs_pixels(dataset_index) -> bool`:
+    * None (default): every batch carries pixels (fresh decode per epoch —
+      the reference's own behavior, vimacsa_dataset.py:123-199);
+    * driver-provided (finetune/pretrain): backed by the HBM visual feature
+      cache's seen-rows set, so pixels are decoded exactly until the feature
+      cache owns that row's features, then never again.
+    A batch omits the pixel keys entirely only when ALL its rows report
+    warm, so collate always sees uniform keys; `needs_pixels` must be
+    monotonic (False stays False), which seen-row sets are.
+    """
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, num_workers: int = 8,
                  prefetch: int = 2, cache: bool = False,
-                 num_hosts: int = 1, host_id: int = 0):
+                 num_hosts: int = 1, host_id: int = 0,
+                 pixel_keys: Sequence[str] = ("images", "roi_images"),
+                 needs_pixels: Optional[Callable[[int], bool]] = None,
+                 eval_stripe: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -91,7 +112,23 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.epoch = 0
+        self.pixel_keys = tuple(pixel_keys)
+        self._needs_pixels = needs_pixels
         self._cache: Optional[dict] = {} if cache else None
+        # Lockstep eval sharding over hosts: global step s covers dataset
+        # rows [s*G, (s+1)*G), G = num_hosts*batch_size; this host feeds the
+        # stripe [s*G + host_id*B, ...+B).  Every host yields the SAME number
+        # of full-size batches (SPMD steps must run in lockstep on every
+        # host); out-of-range slots are filled with clone rows marked
+        # `_idx == -1`.  Replaces replicated eval (every host computing the
+        # whole dev set) — each row is computed once, on one dp shard.
+        self.eval_stripe = eval_stripe
+        self._eval_num_hosts, self._eval_host_id = num_hosts, host_id
+        if eval_stripe:
+            assert not shuffle and not drop_last, \
+                "eval_stripe is for deterministic full-coverage eval"
+            self._indices = list(range(len(dataset)))
+            return
         # per-host shard (contiguous slice, reference style
         # run_pretraining_fcmf.py:170-172)
         n = len(dataset)
@@ -104,17 +141,47 @@ class DataLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
+        if self.eval_stripe:
+            g = self._eval_num_hosts * self.batch_size
+            return -(-len(self.dataset) // g)
         n = len(self._indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _get(self, i: int):
-        if self._cache is not None:
-            if i not in self._cache:
-                self._cache[i] = self.dataset[i]
-            return self._cache[i]
-        return self.dataset[i]
+    def _strip(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        return {k: v for k, v in sample.items() if k not in self.pixel_keys}
+
+    def _get(self, i: int, with_pixels: bool = True):
+        if self._cache is None:
+            sample = self.dataset[i]
+            return sample if with_pixels else self._strip(sample)
+        light = self._cache.get(i)
+        if light is None:
+            sample = self.dataset[i]
+            light = self._strip(sample)
+            self._cache[i] = light
+            return sample if with_pixels else light
+        if with_pixels:
+            # rare: a warm-cached row sharing a batch with a cold row (the
+            # shuffled drop_last tail differs across epochs) — re-decode
+            return self.dataset[i]
+        return light
+
+    def _stripe_batches(self):
+        """[(content_idxs, report_idxs, global_step_rows)] per lockstep step."""
+        n = len(self.dataset)
+        nh, b = self._eval_num_hosts, self.batch_size
+        g = nh * b
+        out = []
+        for s in range(-(-n // g)):
+            base = s * g + self._eval_host_id * b
+            content = [i if i < n else i % n for i in range(base, base + b)]
+            report = [i if i < n else -1 for i in range(base, base + b)]
+            out.append((content, report, range(s * g, min((s + 1) * g, n))))
+        return out
 
     def __iter__(self) -> Iterator[Batch]:
+        if self.eval_stripe:
+            return self._iter_batches(self._stripe_batches())
         order = list(self._indices)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
@@ -122,7 +189,14 @@ class DataLoader:
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        return self._iter_batches([(b, b, b) for b in batches])
 
+    def _iter_batches(self, batches) -> Iterator[Batch]:
+        """batches: [(content_idxs, report_idxs, pixel_gate_rows)].
+        `pixel_gate_rows` is the index set the needs_pixels decision is made
+        over — in stripe mode the GLOBAL step rows, so every host makes the
+        same light-vs-pixels call (a divergent call would feed a pixel-less
+        batch into a collective compute path on one host only)."""
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -131,13 +205,18 @@ class DataLoader:
             # Any worker exception is forwarded to the consumer and re-raised
             # there — a silently-truncated epoch is a correctness bug.
             try:
-                for idxs in batches:
+                for idxs, report, gate_rows in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self._get, idxs))
+                    with_pixels = (self._needs_pixels is None
+                                   or any(self._needs_pixels(i)
+                                          for i in gate_rows))
+                    samples = list(pool.map(
+                        lambda i: self._get(i, with_pixels), idxs))
                     out = collate(samples)
-                    # per-sample dataset indices (feature-cache keys)
-                    out["_idx"] = np.asarray(idxs, np.int32)
+                    # per-sample dataset indices (feature-cache keys;
+                    # -1 marks clone/pad rows whose outputs are discarded)
+                    out["_idx"] = np.asarray(report, np.int32)
                     q.put(out)
                 q.put(None)
             except BaseException as e:  # noqa: BLE001

@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk")
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3",
                    help="ResNet stage sizes; must match the training setup")
+    p.add_argument("--fused_attention", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="Pallas fused-attention kernel (same escape hatch "
+                        "the training drivers expose)")
     return p
 
 
@@ -87,10 +91,12 @@ def main(argv: Optional[list] = None) -> dict:
     args = build_argparser().parse_args(argv)
     logger = setup_logging(None)
 
-    fused = common.resolve_fused_attention("auto")
+    fused = common.resolve_fused_attention(args.fused_attention, logger=logger)
     text_cfg = common.build_text_config(args.pretrained_hf_model, "float32",
                                         fused_attention=fused)
-    cfg = FCMFConfig(model=ModelConfig(dtype="float32", fused_attention=fused),
+    cfg = FCMFConfig(model=ModelConfig(
+                         dtype="float32", fused_attention=fused.enabled,
+                         fused_attention_interpret=fused.interpret),
                      text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,
                      max_text_len=args.max_seq_length,

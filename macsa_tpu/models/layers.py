@@ -145,7 +145,12 @@ class BertSelfAttention(nn.Module):
         rng = (None if deterministic or cfg.attention_probs_dropout_prob == 0.0
                else self.make_rng("dropout"))
         rate = 0.0 if rng is None else cfg.attention_probs_dropout_prob
-        interpret = jax.default_backend() == "cpu"
+        # interpret mode is a config decision made by the driver from the
+        # platform the computation actually runs on (train.common.
+        # resolve_fused_attention) — `jax.default_backend()` lies in mixed
+        # TPU-plugin/CPU environments (reports the plugin even when the
+        # default device is pinned to CPU).
+        interpret = cfg.fused_attention_interpret
         if (cfg.fused_attention and additive_mask is not None
                 and additive_mask.ndim == 4 and additive_mask.shape[1] == 1
                 and additive_mask.shape[2] == 1

@@ -41,6 +41,7 @@ def _block_config(cfg: TextEncoderConfig) -> ModelConfig:
         initializer_range=cfg.initializer_range,
         dtype=cfg.dtype,
         fused_attention=cfg.fused_attention,
+        fused_attention_interpret=cfg.fused_attention_interpret,
     )
 
 

@@ -40,14 +40,30 @@ def _enabled() -> bool:
 
 
 def ensure_built(force: bool = False) -> bool:
-    """Compile the shared object if missing/stale. True on success."""
-    if not force and os.path.exists(_SO) and (
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-        return True
+    """Compile the shared object if missing/stale. True on success.
+
+    Concurrency-safe across processes (the 2-process `jax.distributed` test,
+    parallel jobs sharing a checkout): g++ writes to a pid-unique temp path
+    which is atomically `os.replace`d into place, so a reader can never dlopen
+    a half-written .so — and a torn file can't end up with a fresh mtime that
+    marks it permanently 'up to date'.  Any failure (missing source, missing
+    toolchain, unreadable mtimes) returns False and the caller degrades to
+    the PIL path.
+    """
     try:
-        subprocess.run(_BUILD_CMD, check=True, capture_output=True,
-                       timeout=300)
-        return True
+        if not force and os.path.exists(_SO) and (
+                os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
+        tmp = f"{_SO}.build.{os.getpid()}"
+        cmd = list(_BUILD_CMD)
+        cmd[cmd.index(_SO)] = tmp
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            os.replace(tmp, _SO)
+            return True
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     except Exception:
         return False
 

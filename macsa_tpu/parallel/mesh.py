@@ -25,13 +25,25 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     """Create a (dp, mp) mesh over the available devices.
 
     dp defaults to n_devices // mp.  On a single chip this is a trivial
-    1x1 mesh — the same code path runs everywhere.
+    1x1 mesh — the same code path runs everywhere.  Odd device counts that
+    don't tile dp*mp degrade gracefully: the trailing remainder devices are
+    left unused (with a warning) rather than asserting.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if n % mp != 0:
+        raise ValueError(f"--mp {mp} does not divide the {n} available "
+                         "devices; choose mp | n_devices")
     if dp is None:
         dp = n // mp
-    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} needs {dp * mp} devices, "
+                         f"only {n} available")
+    if dp * mp < n:
+        import warnings
+        warnings.warn(f"mesh {dp}x{mp} uses {dp * mp} of {n} devices; "
+                      f"{n - dp * mp} devices left idle")
+        devices = devices[: dp * mp]
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, axis_names=("dp", "mp"))
 
@@ -55,11 +67,19 @@ def shard_batch(batch, mesh: Mesh):
     assembled with `make_array_from_process_local_data`.
     """
     sharding = batch_sharding(mesh)
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)), batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+    def place(x):
+        # already-global arrays (e.g. feature-cache lookups, which return
+        # mesh-wide arrays) pass through — the jitted step's in_shardings
+        # reshard them; np.asarray on a non-addressable array would throw
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding,
+                                                          np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, NamedTuple, Optional, Union
 
 from macsa_tpu.config import TextEncoderConfig
 from macsa_tpu.data.images import roi_boxes_from_csv
@@ -82,21 +82,62 @@ def load_tokenizer(pretrained_path: str):
         AutoTokenizer.from_pretrained(pretrained_path, local_files_only=True))
 
 
-def resolve_fused_attention(flag: str) -> bool:
-    """'on'/'off'/'auto' -> bool; auto enables the Pallas fused-attention
-    path only on TPU backends (the kernel is Mosaic/TPU-only; CPU keeps the
-    XLA path, and unknown accelerators are not assumed compatible)."""
-    if flag == "on":
-        return True
-    if flag == "off":
-        return False
+class FusedAttention(NamedTuple):
+    """Resolved fused-attention decision: use the Pallas kernel, and whether
+    to run it in interpret mode (non-TPU platforms)."""
+
+    enabled: bool
+    interpret: bool
+
+
+def default_compute_platform() -> str:
+    """Platform computations run on by default.
+
+    `jax.default_backend()` reports the highest-priority *registered*
+    backend, which is wrong in mixed environments where the TPU plugin is
+    registered but `jax_default_device` is pinned to CPU (the test harness)
+    — computations then execute on CPU while default_backend() still says
+    'tpu'.  Prefer the pinned default device's platform when set.
+    """
     import jax
-    return jax.default_backend() in ("tpu", "axon")
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        plat = getattr(dev, "platform", None)
+        if plat:
+            return plat
+    return jax.default_backend()
+
+
+def resolve_fused_attention(flag: str, mp: int = 1,
+                            logger=None) -> FusedAttention:
+    """'on'/'off'/'auto' -> FusedAttention(enabled, interpret).
+
+    auto enables the Pallas fused-attention kernel only on TPU platforms
+    (the kernel is Mosaic/TPU-only; CPU keeps the XLA path, and unknown
+    accelerators are not assumed compatible).  'on' on a non-TPU platform
+    runs the kernel in (slow) interpret mode — a debugging escape hatch.
+
+    Tensor parallelism (mp > 1) forces the kernel OFF: `pallas_call` has no
+    GSPMD partitioning rule, so head-sharded QKV would either fail to
+    compile or silently force replication/all-gathers.
+    """
+    if flag == "off":
+        return FusedAttention(False, False)
+    on_tpu = default_compute_platform() in ("tpu", "axon")
+    if mp > 1:
+        if flag == "on" and logger is not None:
+            logger.warning("--fused_attention on is incompatible with --mp>1 "
+                           "(no GSPMD rule for pallas_call); forcing off")
+        return FusedAttention(False, False)
+    if flag == "on":
+        return FusedAttention(True, not on_tpu)
+    return FusedAttention(on_tpu, False)
 
 
 def build_text_config(pretrained_path: Optional[str],
                       dtype: str = "bfloat16",
-                      fused_attention: bool = False) -> TextEncoderConfig:
+                      fused_attention: Union[FusedAttention, bool] = False,
+                      ) -> TextEncoderConfig:
     import dataclasses
     if pretrained_path and os.path.exists(os.path.join(pretrained_path,
                                                        "config.json")):
@@ -104,7 +145,10 @@ def build_text_config(pretrained_path: Optional[str],
             cfg = TextEncoderConfig.from_hf_config(json.load(f), dtype=dtype)
     else:
         cfg = TextEncoderConfig(dtype=dtype)
-    return dataclasses.replace(cfg, fused_attention=fused_attention)
+    fa = (fused_attention if isinstance(fused_attention, FusedAttention)
+          else FusedAttention(bool(fused_attention), False))
+    return dataclasses.replace(cfg, fused_attention=fa.enabled,
+                               fused_attention_interpret=fa.interpret)
 
 
 def import_text_params(params: Dict[str, Any], pretrained_path: str,

@@ -132,10 +132,13 @@ def main(argv: Optional[list] = None) -> dict:
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
-    fused = common.resolve_fused_attention(args.fused_attention)
+    fused = common.resolve_fused_attention(args.fused_attention, mp=args.mp,
+                                           logger=logger)
     text_cfg = common.build_text_config(args.pretrained_hf_model, dtype,
                                         fused_attention=fused)
-    cfg = FCMFConfig(model=ModelConfig(dtype=dtype, fused_attention=fused),
+    cfg = FCMFConfig(model=ModelConfig(
+                         dtype=dtype, fused_attention=fused.enabled,
+                         fused_attention_interpret=fused.interpret),
                      text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,
                      alpha=args.alpha, max_text_len=args.max_seq_length,
@@ -255,6 +258,17 @@ def main(argv: Optional[list] = None) -> dict:
         caches: dict = {}
         cached_rows: dict = {}  # split -> np.bool_ [n] rows already cached
 
+    def global_idx(idx: np.ndarray) -> np.ndarray:
+        """This host's batch rows -> the global batch's rows (process order,
+        matching `make_array_from_process_local_data`'s row layout).  Cache
+        warm/cold decisions MUST be made on the global rows: the lookup and
+        extract paths are different collective programs, and a host deciding
+        differently from its peers would deadlock the mesh."""
+        if n_hosts == 1:
+            return idx
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(idx)).reshape(-1)
+
     def featurize(split: str, n_samples: int, batch: dict) -> dict:
         """Replace raw pixels with (possibly cached) visual features.
 
@@ -264,9 +278,10 @@ def main(argv: Optional[list] = None) -> dict:
         if not use_feature_cache:
             batch.pop("_idx", None)
             return batch
-        idx = np.asarray(batch.pop("_idx"))
-        images = batch.pop("images")
-        roi_images = batch.pop("roi_images")
+        idx = global_idx(np.asarray(batch.pop("_idx")))
+        # absent when the loader sent a light (all-rows-warm) batch
+        images = batch.pop("images", None)
+        roi_images = batch.pop("roi_images", None)
         if split not in caches:
             caches[split] = VisualFeatureCache(
                 n_samples, cfg.num_imgs, cfg.num_roi, cfg.num_patches,
@@ -279,6 +294,9 @@ def main(argv: Optional[list] = None) -> dict:
         if cached_rows[split][idx[valid]].all():
             grid, roi = cache.lookup(idx)
         else:
+            assert images is not None, (
+                "cold feature-cache rows in a pixel-less batch — the "
+                "loader's needs_pixels gate and cached_rows disagree")
             vis = shard_batch({"im": images, "ri": roi_images}, mesh)
             grid, roi = extract_jit(state.visual_params, vis["im"], vis["ri"])
             cache.update(idx, grid, roi)
@@ -286,26 +304,46 @@ def main(argv: Optional[list] = None) -> dict:
         batch["grid"], batch["roi"] = grid, roi
         return batch
 
+    def pixels_needed(split: str):
+        """Per-sample gate for the loader: pixels are required only until the
+        HBM feature cache owns that row (None => always carry pixels).
+
+        Multi-host: gating stays off for the TRAIN loader — each host
+        shuffles its own shard, so it cannot evaluate its peers' rows and a
+        divergent light-vs-pixels call would crash featurize.  (Eval uses
+        deterministic stripes, where the loader gates on the global step
+        rows — see DataLoader._stripe_batches.)"""
+        if not use_feature_cache:
+            return None
+        return lambda i: not (split in cached_rows and cached_rows[split][i])
+
     def run_eval(dataset, split: str = "dev") -> dict:
+        """Dev/test eval, sharded over hosts in SPMD lockstep.
+
+        Global step s computes dataset rows [s*G, (s+1)*G), G = n_hosts *
+        eval_batch_size; each host feeds its stripe and every row is computed
+        exactly once on one dp shard (the reference instead evals everything
+        on the master rank, run_multimodal_fcmf.py:500; round-1 macsa_tpu
+        replicated the whole set on every host).  Predictions and labels
+        come back via fetch_global, so every host returns the full report."""
+        n = len(dataset)
+        g = n_hosts * args.eval_batch_size
         loader = DataLoader(dataset, args.eval_batch_size, num_workers=8,
-                            cache=use_feature_cache)
-        trues, preds = [], []
-        for batch in loader:
-            b = batch["labels"].shape[0]
-            padded = pad_batch({k: v for k, v in batch.items()
-                                if not isinstance(v, list)},
-                               args.eval_batch_size)
-            pad_mask = padded.pop("pad_mask")
-            padded = featurize(split, len(dataset), padded)
-            sb = shard_batch(padded, mesh)
+                            cache=use_feature_cache,
+                            needs_pixels=pixels_needed(split),
+                            num_hosts=n_hosts, host_id=host_id,
+                            eval_stripe=True)
+        trues = np.zeros((n, len(ASPECTS)), np.int32)
+        preds = np.zeros((n, len(ASPECTS)), np.int32)
+        for s, batch in enumerate(loader):
+            batch.pop("text", None)
+            batch = featurize(split, n, batch)
+            sb = shard_batch(batch, mesh)
             p, _ = eval_step(state.params, state.visual_params, sb)
-            # every host loads the full eval set, so under multi-host SPMD the
-            # global batch is the eval batch replicated along dp; rows [:b]
-            # are host 0's copy (the reference evals on the master rank only,
-            # run_multimodal_fcmf.py:500)
-            preds.append(fetch_global(p)[:b])
-            trues.append(batch["labels"])
-        return aspect_report(np.concatenate(trues), np.concatenate(preds))
+            m = min(g, n - s * g)  # trailing rows are -1-marked clone pads
+            preds[s * g:s * g + m] = fetch_global(p)[:m]
+            trues[s * g:s * g + m] = fetch_global(sb["labels"])[:m]
+        return aspect_report(trues, preds)
 
     result = {}
     if args.do_train:
@@ -314,7 +352,9 @@ def main(argv: Optional[list] = None) -> dict:
         # batch (n_hosts * train_batch_size) is assembled by shard_batch
         loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
                             seed=args.seed, drop_last=True, num_workers=8,
-                            cache=True, num_hosts=n_hosts, host_id=host_id)
+                            cache=True, num_hosts=n_hosts, host_id=host_id,
+                            needs_pixels=(pixels_needed("train")
+                                          if n_hosts == 1 else None))
         key = jax.random.PRNGKey(args.seed)
         with maybe_profile(args.profile_dir):
             for epoch in range(start_epoch, args.num_train_epochs):

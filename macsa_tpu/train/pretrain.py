@@ -133,12 +133,15 @@ def main(argv: Optional[list] = None) -> dict:
     np.random.seed(args.seed)
 
     dtype = "bfloat16" if args.bf16 else "float32"
-    fused = common.resolve_fused_attention(args.fused_attention)
+    fused = common.resolve_fused_attention(args.fused_attention, mp=args.mp,
+                                           logger=logger)
     text_cfg = common.build_text_config(args.pretrained_hf_model, dtype,
                                         fused_attention=fused)
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
     vocab_size = len(tokenizer)
-    cfg = FCMFConfig(model=ModelConfig(dtype=dtype, fused_attention=fused),
+    cfg = FCMFConfig(model=ModelConfig(
+                         dtype=dtype, fused_attention=fused.enabled,
+                         fused_attention_interpret=fused.interpret),
                      text=text_cfg,
                      num_imgs=args.num_imgs, num_roi=args.num_rois,
                      alpha=args.alpha, max_text_len=args.max_seq_length,
@@ -244,8 +247,15 @@ def main(argv: Optional[list] = None) -> dict:
             batch.pop("orig_idx", None)
             return batch
         idx = np.asarray(batch.pop("orig_idx"))
-        images = batch.pop("images")
-        roi_images = batch.pop("roi_images")
+        if n_hosts > 1:
+            # warm/cold is decided on the GLOBAL batch rows: lookup and
+            # extract are different collective programs, and a host deciding
+            # differently from its peers would deadlock the mesh
+            from jax.experimental import multihost_utils
+            idx = np.asarray(multihost_utils.process_allgather(idx)).reshape(-1)
+        # absent when the loader sent a light (all-rows-warm) batch
+        images = batch.pop("images", None)
+        roi_images = batch.pop("roi_images", None)
         if fc_state["cache"] is None:
             fc_state["cache"] = VisualFeatureCache(
                 n_records, cfg.num_imgs, cfg.num_roi, cfg.num_patches,
@@ -257,6 +267,9 @@ def main(argv: Optional[list] = None) -> dict:
         if fc_state["seen"][idx[valid]].all():
             grid, roi = fc_state["cache"].lookup(idx)
         else:
+            assert images is not None, (
+                "cold feature-cache rows in a pixel-less batch — the "
+                "loader's needs_pixels gate and seen-rows disagree")
             vis = shard_batch({"im": images, "ri": roi_images}, mesh)
             grid, roi = extract_jit(state.visual_params, vis["im"], vis["ri"])
             fc_state["cache"].update(idx, grid, roi)
@@ -298,9 +311,20 @@ def main(argv: Optional[list] = None) -> dict:
 
     result = {}
     if args.do_train:
+        # pixels required only until the feature cache owns the sample's
+        # ORIGINAL review row (aspect-expanded samples share images).
+        # Multi-host keeps the gate off: each host shuffles its own shard,
+        # so it cannot evaluate its peers' rows and a divergent
+        # light-vs-pixels call would crash featurize.
+        needs_pixels = None
+        if use_feature_cache and n_hosts == 1:
+            needs_pixels = lambda i: (  # noqa: E731
+                fc_state["seen"] is None
+                or not fc_state["seen"][train_ds.samples[i]["original_idx"]])
         loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
                             seed=args.seed, drop_last=True, num_workers=8,
-                            cache=True, num_hosts=n_hosts, host_id=host_id)
+                            cache=True, num_hosts=n_hosts, host_id=host_id,
+                            needs_pixels=needs_pixels)
         dev_ds = make_dataset("dev") if args.do_eval else None
         key = jax.random.PRNGKey(args.seed)
         for epoch in range(start_epoch, args.num_train_epochs):

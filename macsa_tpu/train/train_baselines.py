@@ -98,7 +98,8 @@ def main(argv: Optional[list] = None) -> dict:
     dtype = "bfloat16" if args.bf16 else "float32"
     text_cfg = common.build_text_config(
         args.pretrained_hf_model, dtype,
-        fused_attention=common.resolve_fused_attention(args.fused_attention))
+        fused_attention=common.resolve_fused_attention(args.fused_attention,
+                                                       logger=logger))
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
 
     uses_visual = args.model in ("mroberta", "tomroberta")

@@ -163,6 +163,46 @@ def test_loader_collate_shuffle_cache(tmp_path):
     assert padded["pad_mask"].sum() == 2
 
 
+def test_loader_cache_never_retains_pixels():
+    """The sample cache must hold LIGHT entries only — float32 pixel tensors
+    are ~21 MB/sample at reference shapes (~60 GB/train split if retained;
+    VERDICT r1 weak #3).  Pixels are re-fetched per batch until the driver's
+    needs_pixels gate reports the feature cache owns the row."""
+    decodes = {"n": 0}
+
+    class PixelDS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            decodes["n"] += 1
+            return {"images": np.full((2, 4, 4, 3), i, np.float32),
+                    "roi_images": np.zeros((2, 2, 4, 4, 3), np.float32),
+                    "input_ids": np.asarray([i], np.int32)}
+
+    warm = np.zeros(6, np.bool_)
+    dl = DataLoader(PixelDS(), batch_size=3, cache=True, num_workers=2,
+                    needs_pixels=lambda i: not warm[i])
+    # epoch 0: cold — every batch carries pixels, cache fills with light rows
+    for b in dl:
+        assert "images" in b and "roi_images" in b
+        warm[b["_idx"]] = True  # what featurize() does after scattering
+    assert decodes["n"] == 6
+    assert all("images" not in s and "roi_images" not in s
+               for s in dl._cache.values()), "pixels retained in sample cache"
+    # epoch 1: warm — batches are light and nothing is re-decoded
+    for b in dl:
+        assert "images" not in b and "roi_images" not in b
+        assert "input_ids" in b
+    assert decodes["n"] == 6
+    # mixed batch (one row cold again): pixels reappear for the whole batch
+    warm[4] = False
+    batches = list(dl)
+    assert any("images" in b for b in batches)
+    assert all("images" in b
+               for b in batches if 4 in b["_idx"].tolist())
+
+
 def test_loader_host_sharding():
     class TinyDS:
         def __len__(self):
@@ -176,6 +216,65 @@ def test_loader_host_sharding():
     xs_a = {int(batch["x"][i, 0]) for batch in a for i in range(2)}
     xs_b = {int(batch["x"][i, 0]) for batch in b for i in range(2)}
     assert xs_a == {0, 1, 2, 3} and xs_b == {4, 5, 6, 7}
+
+
+def test_loader_eval_stripe_lockstep():
+    """Sharded lockstep eval: every host yields the SAME number of full-size
+    batches; global step s covers rows [s*G, (s+1)*G); pad slots carry
+    `_idx == -1`; real rows are covered exactly once across hosts, in
+    global-row order host-major within a step."""
+    class TinyDS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i], np.int32)}
+
+    loaders = [DataLoader(TinyDS(), batch_size=4, num_hosts=2, host_id=h,
+                          eval_stripe=True) for h in (0, 1)]
+    assert len(loaders[0]) == len(loaders[1]) == 2  # ceil(10 / 8)
+    per_host = [list(ld) for ld in loaders]
+    seen = []
+    for s in range(2):
+        for h in (0, 1):
+            batch = per_host[h][s]
+            assert batch["x"].shape == (4, 1)  # always full-size
+            for k in range(4):
+                gidx = s * 8 + h * 4 + k
+                if gidx < 10:
+                    assert batch["_idx"][k] == gidx
+                    assert batch["x"][k, 0] == gidx
+                    seen.append(gidx)
+                else:
+                    assert batch["_idx"][k] == -1
+    assert seen == list(range(10))
+
+
+def test_loader_eval_stripe_pixel_gate_is_global():
+    """The light-vs-pixels decision must be made over the GLOBAL step rows so
+    all hosts agree (a divergent call would desync SPMD featurize): host 1's
+    stripe being fully warm must NOT produce a light batch while host 0
+    still has a cold row in the same step."""
+    class PixDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"images": np.zeros((1, 2, 2, 3), np.float32),
+                    "x": np.asarray([i], np.int32)}
+
+    warm = np.ones(8, np.bool_)
+    warm[1] = False  # cold row in host 0's stripe of step 0
+    batches = list(DataLoader(PixDS(), batch_size=4, num_hosts=2, host_id=1,
+                              eval_stripe=True, cache=True,
+                              needs_pixels=lambda i: not warm[i]))
+    assert "images" in batches[0], "host 1 must ship pixels: step 0 has a " \
+        "cold row (on host 0) even though host 1's own stripe is warm"
+    warm[1] = True
+    batches = list(DataLoader(PixDS(), batch_size=4, num_hosts=2, host_id=1,
+                              eval_stripe=True, cache=True,
+                              needs_pixels=lambda i: not warm[i]))
+    assert "images" not in batches[0]
 
 
 def test_loader_propagates_worker_exceptions():

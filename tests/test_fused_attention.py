@@ -81,7 +81,8 @@ def test_bert_self_attention_fused_flag_parity(rng):
     plain = BertSelfAttention(cfg)
     params = plain.init(jax.random.PRNGKey(0), x, x, ext)
     ref = plain.apply(params, x, x, ext, True)
-    fused_mod = BertSelfAttention(dataclasses.replace(cfg, fused_attention=True))
+    fused_mod = BertSelfAttention(dataclasses.replace(
+        cfg, fused_attention=True, fused_attention_interpret=True))
     out = fused_mod.apply(params, x, x, ext, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 

@@ -32,7 +32,8 @@ WORDS = ("khách sạn phòng đẹp sạch sẽ nhân viên thân thiện đồ
          "thoải mái tuyệt vời bình thường dịch vụ chậm nhanh").split()
 
 
-def make_tokenizer(tok_dir: str) -> None:
+def make_tokenizer(tok_dir: str, n_layers: int = 2,
+                   intermediate: int = 1024) -> None:
     from tokenizers import Tokenizer, models, pre_tokenizers, processors
 
     vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, ",": 4, ".": 5,
@@ -62,8 +63,9 @@ def make_tokenizer(tok_dir: str) -> None:
                    "model_max_length": 512}, f)
     with open(os.path.join(tok_dir, "config.json"), "w") as f:
         json.dump({"model_type": "xlm-roberta", "vocab_size": len(vocab),
-                   "hidden_size": 768, "num_hidden_layers": 2,
-                   "num_attention_heads": 12, "intermediate_size": 1024,
+                   "hidden_size": 768, "num_hidden_layers": n_layers,
+                   "num_attention_heads": 12,
+                   "intermediate_size": intermediate,
                    "max_position_embeddings": 514, "type_vocab_size": 1,
                    "pad_token_id": 1, "layer_norm_eps": 1e-5}, f)
 
@@ -101,9 +103,13 @@ def make_records(n: int, img_names: list, rng: np.random.Generator,
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth"
     n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # full-scale runs (docs/RUNS.md) use 12 layers / 3072 intermediate —
+    # the ViSoBERT/XLM-R-base geometry; smoke-test default stays tiny
+    n_layers = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    intermediate = 3072 if n_layers >= 12 else 1024
     rng = np.random.default_rng(0)
 
-    make_tokenizer(os.path.join(out, "tok"))
+    make_tokenizer(os.path.join(out, "tok"), n_layers, intermediate)
     img_names = make_images(os.path.join(out, "images"), 12, rng)
 
     data_dir = os.path.join(out, "data")
