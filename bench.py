@@ -47,29 +47,40 @@ BASELINES = {  # pairs/s, BASELINE.md throughput table
 }
 
 
-def make_batch(rng, cfg, b, a=6):
+def make_batch(cfg, b, a=6, seed=0):
+    """Synthetic batch generated ON DEVICE (one jitted program, no host
+    pixels): a host-built batch is ~170 MB of float32 pixels at batch 8,
+    and shipping it through the axon tunnel used to eat a large slice of
+    the 'compile+first step' wall time (measured r2: warm start dropped
+    from ~215 s to ~2 min after moving batch+param creation on-device)."""
+    import jax
     import jax.numpy as jnp
     l = cfg.max_text_len
-    return {
-        # float32 pixels: uint8 elementwise compute is ~120x slower on this
-        # TPU stack (see macsa_tpu.ops.image_prep docs), so the bench uses the
-        # default float path; uint8 transfer stays an opt-in for
-        # host-link-bound deployments.
-        "images": jnp.asarray(rng.normal(size=(b, cfg.num_imgs, 224, 224, 3))
-                              .astype(np.float32)),
-        "roi_images": jnp.asarray(
-            rng.normal(size=(b, cfg.num_imgs, cfg.num_roi, 224, 224, 3))
-            .astype(np.float32)),
-        "roi_coors": jnp.asarray(
-            rng.uniform(0, 1, size=(b, cfg.num_imgs, cfg.num_roi, 4))
-            .astype(np.float32)),
-        "input_ids": jnp.asarray(rng.integers(2, cfg.text.vocab_size,
-                                              size=(b, a, l)).astype(np.int32)),
-        "token_type_ids": jnp.zeros((b, a, l), jnp.int32),
-        "attention_mask": jnp.ones((b, a, l), jnp.int32),
-        "added_mask": jnp.ones((b, a, l + cfg.num_patches), jnp.int32),
-        "labels": jnp.asarray(rng.integers(0, 4, size=(b, a)).astype(np.int32)),
-    }
+
+    # float32 pixels: uint8 elementwise compute is ~120x slower on this
+    # TPU stack (see macsa_tpu.ops.image_prep docs), so the bench uses the
+    # default float path; uint8 transfer stays an opt-in for
+    # host-link-bound deployments.
+    @jax.jit
+    def build(key):
+        ks = jax.random.split(key, 5)
+        return {
+            "images": jax.random.normal(
+                ks[0], (b, cfg.num_imgs, 224, 224, 3), jnp.float32),
+            "roi_images": jax.random.normal(
+                ks[1], (b, cfg.num_imgs, cfg.num_roi, 224, 224, 3),
+                jnp.float32),
+            "roi_coors": jax.random.uniform(
+                ks[2], (b, cfg.num_imgs, cfg.num_roi, 4), jnp.float32),
+            "input_ids": jax.random.randint(
+                ks[3], (b, a, l), 2, cfg.text.vocab_size, jnp.int32),
+            "token_type_ids": jnp.zeros((b, a, l), jnp.int32),
+            "attention_mask": jnp.ones((b, a, l), jnp.int32),
+            "added_mask": jnp.ones((b, a, l + cfg.num_patches), jnp.int32),
+            "labels": jax.random.randint(ks[4], (b, a), 0, 4, jnp.int32),
+        }
+
+    return build(jax.random.PRNGKey(seed))
 
 
 def fast_init(fn, *args, seed=0):
@@ -77,26 +88,33 @@ def fast_init(fn, *args, seed=0):
 
     Full flax init runs the whole forward on device (~minutes through the
     tunnel for ResNet-152 + FCMF); the bench only needs *shaped* params —
-    MXU time is not data-dependent — so build them host-side from
-    jax.eval_shape and ship once.
+    MXU time is not data-dependent — so the shapes come from jax.eval_shape
+    and the values from ONE jitted on-device program (host-side numpy params
+    were ~1 GB shipped through the tunnel, the bulk of the old 54 s init).
     """
     import jax
     import jax.numpy as jnp
 
     shapes = jax.eval_shape(fn, jax.random.PRNGKey(seed), *args)
-    rng = np.random.default_rng(seed)
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
 
-    def mk(path, s):
-        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
-        if not np.issubdtype(np.dtype(s.dtype), np.floating):
-            return jnp.zeros(s.shape, s.dtype)
-        if name in ("scale", "var"):        # LayerNorm / BN multipliers
-            return jnp.ones(s.shape, s.dtype)
-        if name in ("bias", "mean"):
-            return jnp.zeros(s.shape, s.dtype)
-        return jnp.asarray(rng.standard_normal(s.shape).astype(s.dtype) * 0.02)
+    @jax.jit
+    def build(key):
+        out = []
+        for i, (path, s) in enumerate(paths_leaves):
+            name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+            if not np.issubdtype(np.dtype(s.dtype), np.floating):
+                out.append(jnp.zeros(s.shape, s.dtype))
+            elif name in ("scale", "var"):  # LayerNorm / BN multipliers
+                out.append(jnp.ones(s.shape, s.dtype))
+            elif name in ("bias", "mean"):
+                out.append(jnp.zeros(s.shape, s.dtype))
+            else:
+                out.append(0.02 * jax.random.normal(
+                    jax.random.fold_in(key, i), s.shape, s.dtype))
+        return out
 
-    return jax.tree_util.tree_map_with_path(mk, shapes)
+    return jax.tree_util.tree_unflatten(treedef, build(jax.random.PRNGKey(seed)))
 
 
 def main():
@@ -135,8 +153,7 @@ def main():
     rcfg = ResNetConfig()
     visual = VisualFeatures(rcfg)
 
-    rng = np.random.default_rng(0)
-    batch = make_batch(rng, cfg, batch_size)
+    batch = make_batch(cfg, batch_size)
     key = jax.random.PRNGKey(0)
     tx = make_adamw(linear_warmup_schedule(7e-5, 100, 10000),
                     head_learning_rate=linear_warmup_schedule(7e-4, 100, 10000))
@@ -159,12 +176,13 @@ def main():
         batch["enc_input_ids"] = batch.pop("input_ids")[:, 0]
         for k in ("token_type_ids", "attention_mask", "added_mask"):
             batch[k] = batch[k][:, 0]
-        batch["dec_input_ids"] = jnp.asarray(
-            rng.integers(2, cfg.text.vocab_size,
-                         size=(batch_size, t_dec)).astype(np.int32))
-        labels = np.roll(np.asarray(batch["dec_input_ids"]), -1, axis=1)
-        labels[:, -1] = -100  # pad -> ignore_index, iaog_dataset.py:89-96
-        batch["labels"] = jnp.asarray(labels)
+        batch["dec_input_ids"] = jax.jit(
+            lambda k: jax.random.randint(k, (batch_size, t_dec), 2,
+                                         cfg.text.vocab_size, jnp.int32))(
+            jax.random.PRNGKey(7))
+        # pad -> ignore_index, iaog_dataset.py:89-96
+        batch["labels"] = jnp.roll(batch["dec_input_ids"], -1,
+                                   axis=1).at[:, -1].set(-100)
         params = fast_init(
             lambda k, *a: model.init(k, *a)["params"],
             batch["enc_input_ids"][:1], batch["dec_input_ids"][:1],
