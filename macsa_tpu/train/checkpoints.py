@@ -82,6 +82,25 @@ class CheckpointManager:
         return self._ckptr.restore(self._path(tag), template)
 
 
+def resolve_iaog_checkpoint(path: str) -> "str | None":
+    """Resolve `--pretrained_iaog_path` to a concrete orbax checkpoint dir.
+
+    Accepts either a Phase-1 output directory (containing `best`/`last`,
+    preferring `best`) or a direct orbax checkpoint directory — the
+    reference's flag points straight at a checkpoint file
+    (run_multimodal_fcmf.py:382), so both spellings must work.  Returns None
+    when no checkpoint is found.
+    """
+    base = os.path.abspath(path)
+    if os.path.exists(os.path.join(base, "_CHECKPOINT_METADATA")):
+        return base
+    for tag in ("best", "last"):
+        cand = os.path.join(base, tag)
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
 def transfer_encoder_params(seq2seq_params: Dict[str, Any],
                             fcmf_params: Dict[str, Any]) -> Dict[str, Any]:
     """Phase-1 -> Phase-2 knowledge transfer (run_multimodal_fcmf.py:382-412).

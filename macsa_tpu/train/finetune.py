@@ -111,7 +111,9 @@ def main(argv: Optional[list] = None) -> dict:
                                          maybe_initialize_distributed,
                                          replicate, shard_batch)
     from macsa_tpu.train import common
-    from macsa_tpu.train.checkpoints import CheckpointManager, transfer_encoder_params
+    from macsa_tpu.train.checkpoints import (CheckpointManager,
+                                             resolve_iaog_checkpoint,
+                                             transfer_encoder_params)
     from macsa_tpu.train.metrics import aspect_report
     from macsa_tpu.train.optim import linear_warmup_schedule, make_adamw
     from macsa_tpu.train.state import TrainState
@@ -183,14 +185,12 @@ def main(argv: Optional[list] = None) -> dict:
     # --- IAOG encoder transfer (run_multimodal_fcmf.py:382-412) ----------
     ckpt = CheckpointManager(args.output_dir)
     if args.pretrained_iaog_path:
-        iaog_ckpt = CheckpointManager(args.pretrained_iaog_path)
-        if iaog_ckpt.exists("best") or iaog_ckpt.exists("last"):
-            tag = "best" if iaog_ckpt.exists("best") else "last"
-            logger.info(f"Transferring IAOG encoder from {tag} checkpoint")
+        ckpt_path = resolve_iaog_checkpoint(args.pretrained_iaog_path)
+        if ckpt_path is not None:
+            logger.info(f"Transferring IAOG encoder from {ckpt_path}")
             # restore raw param tree (template-free) and merge encoder subtree
             import orbax.checkpoint as ocp
-            raw = ocp.StandardCheckpointer().restore(
-                os.path.join(os.path.abspath(args.pretrained_iaog_path), tag))
+            raw = ocp.StandardCheckpointer().restore(ckpt_path)
             seq2seq_params = raw["params"] if "params" in raw else raw
             params = transfer_encoder_params(seq2seq_params, params)
         else:

@@ -94,3 +94,27 @@ def test_resize_embedding():
     bigger = resize_embedding(table, 9)
     assert bigger.shape == (9, 2)
     np.testing.assert_array_equal(bigger[:6], table)
+
+
+def test_resolve_iaog_checkpoint(tmp_path):
+    """--pretrained_iaog_path accepts both a Phase-1 output dir and a direct
+    orbax checkpoint dir (regression: passing out_pre/last used to silently
+    skip the encoder transfer)."""
+    from macsa_tpu.train.checkpoints import resolve_iaog_checkpoint
+
+    out = tmp_path / "out_pre"
+    last = out / "last"
+    last.mkdir(parents=True)
+    (last / "_CHECKPOINT_METADATA").write_text("{}")
+
+    # output-dir spelling -> resolves to the contained checkpoint
+    assert resolve_iaog_checkpoint(str(out)) == str(last)
+    # direct-checkpoint spelling -> resolves to itself
+    assert resolve_iaog_checkpoint(str(last)) == str(last)
+    # best is preferred over last when both exist
+    best = out / "best"
+    best.mkdir()
+    (best / "_CHECKPOINT_METADATA").write_text("{}")
+    assert resolve_iaog_checkpoint(str(out)) == str(best)
+    # nothing there -> None
+    assert resolve_iaog_checkpoint(str(tmp_path / "missing")) is None
