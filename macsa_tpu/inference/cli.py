@@ -90,6 +90,7 @@ def main(argv: Optional[list] = None) -> dict:
 
     args = build_argparser().parse_args(argv)
     logger = setup_logging(None)
+    common.enable_compilation_cache()
 
     fused = common.resolve_fused_attention(args.fused_attention, logger=logger)
     text_cfg = common.build_text_config(args.pretrained_hf_model, "float32",

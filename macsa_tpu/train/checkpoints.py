@@ -52,11 +52,40 @@ class CheckpointManager:
             "best_score": np.asarray(best_score, np.float32),
         }
         path = self._path(tag)
-        self._ckptr.save(path, payload, force=True)
+        # Async save: orbax snapshots the arrays to host before returning,
+        # then persists in the background — the (slow, multi-GB) file write
+        # overlaps the next epoch's training.  One save in flight at a time;
+        # every read path below waits, and drivers call finalize() after the
+        # training loop so a bare --do_train run can't exit mid-write.
         self._ckptr.wait_until_finished()
+        self._ckptr.save(path, payload, force=True)
+
+    def finalize(self) -> None:
+        """Block until any in-flight async save has fully landed on disk."""
+        self._ckptr.wait_until_finished()
+
+    def copy(self, src: str, dst: str) -> None:
+        """Duplicate checkpoint `src` as `dst` with a local file copy.
+
+        Fine-tune/pretrain epochs where the dev score improves save `best`
+        and `last` with IDENTICAL payloads; re-saving fetches the multi-GB
+        state from device again (minutes through a remote-TPU tunnel), while
+        a disk copy takes seconds.  Atomic: copies to a tmp dir then renames.
+        """
+        import shutil
+        self._ckptr.wait_until_finished()
+        src_path, dst_path = self._path(src), self._path(dst)
+        tmp = dst_path + ".copy-tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(src_path, tmp)
+        if os.path.isdir(dst_path):
+            shutil.rmtree(dst_path)
+        os.replace(tmp, dst_path)
 
     def restore(self, tag: str, state: TrainState) -> Tuple[TrainState, int, float]:
         """Restore into the structure of `state` -> (state, epoch, best)."""
+        self._ckptr.wait_until_finished()
         template = {
             "step": state.step,
             "params": state.params,
@@ -72,13 +101,16 @@ class CheckpointManager:
         return new_state, int(got["epoch"]), float(got["best_score"])
 
     def exists(self, tag: str) -> bool:
+        self._ckptr.wait_until_finished()
         return os.path.isdir(self._path(tag))
 
     def save_params(self, tag: str, params: Any) -> None:
+        self._ckptr.wait_until_finished()
         self._ckptr.save(self._path(tag), params, force=True)
         self._ckptr.wait_until_finished()
 
     def restore_params(self, tag: str, template: Any) -> Any:
+        self._ckptr.wait_until_finished()
         return self._ckptr.restore(self._path(tag), template)
 
 

@@ -82,6 +82,24 @@ def load_tokenizer(pretrained_path: str):
         AutoTokenizer.from_pretrained(pretrained_path, local_files_only=True))
 
 
+def enable_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at a stable directory.
+
+    The FCMF programs compile in minutes at full scale; every driver is a
+    fresh process (pretrain -> finetune -> inference), so without the
+    on-disk cache each stage pays the full XLA compile again.  An explicit
+    `JAX_COMPILATION_CACHE_DIR` env var wins; otherwise `JAX_CACHE`
+    (bench.py's knob) or `~/.cache/jax_comp`.
+    """
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # jax picks the env var up itself
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE",
+                       os.path.expanduser("~/.cache/jax_comp")))
+
+
 class FusedAttention(NamedTuple):
     """Resolved fused-attention decision: use the Pallas kernel, and whether
     to run it in interpret mode (non-TPU platforms)."""

@@ -124,6 +124,7 @@ def main(argv: Optional[list] = None) -> dict:
 
     args = build_argparser().parse_args(argv)
     jax.config.update("jax_default_prng_impl", args.prng)
+    common.enable_compilation_cache()
     maybe_initialize_distributed()
     n_hosts, host_id = jax.process_count(), jax.process_index()
     is_main = host_id == 0
@@ -382,7 +383,10 @@ def main(argv: Optional[list] = None) -> dict:
                         best_f1 = f1
                         logger.info(f"new best F1 {best_f1:.4f}; saving best")
                         ckpt.save("best", state, epoch + 1, best_f1)
+                        ckpt.copy("best", "last")  # identical payload
+                        continue
                 ckpt.save("last", state, epoch + 1, best_f1)
+        ckpt.finalize()
         result["best_dev_f1"] = best_f1
 
     if args.do_test:

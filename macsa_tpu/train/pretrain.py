@@ -122,6 +122,7 @@ def main(argv: Optional[list] = None) -> dict:
 
     args = build_argparser().parse_args(argv)
     jax.config.update("jax_default_prng_impl", args.prng)
+    common.enable_compilation_cache()
     data_dir = args.data_dir or args.pretrained_data_dir
     maybe_initialize_distributed()
     n_hosts, host_id = jax.process_count(), jax.process_index()
@@ -356,7 +357,10 @@ def main(argv: Optional[list] = None) -> dict:
             if n > 0 and mean_loss < best_loss:
                 best_loss = mean_loss
                 ckpt.save("best", state, epoch + 1, -best_loss)
-            ckpt.save("last", state, epoch + 1, -best_loss)
+                ckpt.copy("best", "last")  # identical payload, no re-fetch
+            else:
+                ckpt.save("last", state, epoch + 1, -best_loss)
+        ckpt.finalize()
         result["best_train_loss"] = best_loss
 
     if args.do_eval:

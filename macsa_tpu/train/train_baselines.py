@@ -86,6 +86,7 @@ def main(argv: Optional[list] = None) -> dict:
 
     args = build_argparser().parse_args(argv)
     jax.config.update("jax_default_prng_impl", args.prng)
+    common.enable_compilation_cache()
     maybe_initialize_distributed()
     n_hosts, host_id = jax.process_count(), jax.process_index()
     is_main = host_id == 0
@@ -242,7 +243,10 @@ def main(argv: Optional[list] = None) -> dict:
                 if f1 > best_f1:
                     best_f1 = f1
                     ckpt.save("best", state, epoch + 1, best_f1)
+                    ckpt.copy("best", "last")  # identical payload
+                    continue
             ckpt.save("last", state, epoch + 1, best_f1)
+        ckpt.finalize()
         result["best_dev_f1"] = best_f1
 
     if args.do_test:

@@ -56,8 +56,7 @@ def main():
                      text=TextEncoderConfig(dtype="bfloat16"))
     rcfg = ResNetConfig()
     model, visual = FCMF(cfg), VisualFeatures(rcfg)
-    rng = np.random.default_rng(0)
-    batch = make_batch(rng, cfg, b)
+    batch = make_batch(cfg, b)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
