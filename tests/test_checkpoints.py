@@ -52,6 +52,24 @@ def test_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_copy_duplicates_checkpoint(tmp_path):
+    """copy() clones a saved checkpoint on disk (the best->last fast path for
+    improving epochs) and the clone restores identically."""
+    state = _tiny_state()
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("best", state, epoch=2, best_score=0.5)
+    mgr.copy("best", "last")
+    assert mgr.exists("last")
+    restored, epoch, best = mgr.restore("last", _tiny_state(seed=7))
+    assert epoch == 2 and best == pytest.approx(0.5, abs=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # copy over an existing dst replaces it atomically
+    mgr.copy("best", "last")
+    assert mgr.exists("last")
+
+
 def test_transfer_encoder_params():
     """encoder subtree copied, head params untouched, shared embedding
     materialized into bert word embeddings (run_multimodal_fcmf.py:382-412)."""
