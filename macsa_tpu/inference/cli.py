@@ -16,6 +16,12 @@ Differences by design:
 
 Run: python -m macsa_tpu.inference.cli --checkpoint ... --text "..." \
        --image_list a.png b.png
+
+Batch serving mode (no reference equivalent — inference.py is single-sample
+only): `--input_json records.json` where the file holds a list of
+`{"text": ..., "image_list": [...]}` records classifies every record through
+ONE jitted batched forward per chunk (`--batch_size`, last chunk padded so a
+single compiled program serves the whole file) and writes JSONL predictions.
 """
 
 from __future__ import annotations
@@ -42,8 +48,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--roi_csv", type=str, default=None,
                    help="precomputed roi_data.csv for the detector")
     p.add_argument("--yolo_weights", type=str, default=None)
-    p.add_argument("--text", type=str, required=True)
+    p.add_argument("--text", type=str, default=None)
     p.add_argument("--image_list", type=str, nargs="*", default=[])
+    p.add_argument("--input_json", type=str, default=None,
+                   help="batch mode: JSON list of {text, image_list} records; "
+                        "predictions written as JSONL to --output_file")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="records per jitted forward in --input_json mode")
     p.add_argument("--num_imgs", type=int, default=7)
     p.add_argument("--num_rois", type=int, default=4)
     p.add_argument("--eps", type=float, default=30.0)
@@ -63,8 +74,10 @@ def _load_fcmf_params(path: str, model, cfg, key):
     """orbax dir / torch .pth -> FCMF params."""
     import jax.numpy as jnp
     if os.path.isdir(path):
-        import orbax.checkpoint as ocp
-        raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        # partial restore: a train-state checkpoint is ~3x the params
+        # (optimizer moments); inference only needs the param tree
+        from macsa_tpu.train.checkpoints import restore_subtrees
+        raw = restore_subtrees(os.path.abspath(path), ("params",))
         return raw["params"] if "params" in raw else raw
     from macsa_tpu.train.torch_import import (import_fcmf_classifier,
                                               load_torch_checkpoint)
@@ -85,10 +98,12 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.models.fcmf import FCMF
     from macsa_tpu.models.resnet import VisualFeatures
     from macsa_tpu.train import common
-    from macsa_tpu.train.steps import extract_visual
     from macsa_tpu.utils.logging import setup_logging
 
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if (args.text is None) == (args.input_json is None):
+        parser.error("exactly one of --text / --input_json is required")
     logger = setup_logging(None)
     common.enable_compilation_cache()
 
@@ -116,12 +131,9 @@ def main(argv: Optional[list] = None) -> dict:
         detector = lambda path: []  # no ROI source -> zero features
         logger.warning("no --roi_csv / --yolo_weights; ROIs will be empty")
 
-    # 1. text normalization (inference.py:402-403)
-    text = common.normalize_comment(args.text)
-
-    # 2. visual aspect tags (inference.py:294)
-    img_tags, roi_tags = ["empty"], ["empty"]
-    if args.image_model_checkpoint and args.roi_model_checkpoint and args.image_list:
+    # visual tag classifiers (inference.py:294), shared by both modes
+    taggers = None
+    if args.image_model_checkpoint and args.roi_model_checkpoint:
         from macsa_tpu.models.aspect_classifier import AspectClassifier
         from macsa_tpu.tools.classifier_io import load_classifier_params
         img_clf = AspectClassifier(len(ASPECTS) - 1)  # 5 classes (no Public_area
@@ -130,48 +142,102 @@ def main(argv: Optional[list] = None) -> dict:
         names = [a for a in ASPECTS if a != "Public_area"]
         ip = load_classifier_params(args.image_model_checkpoint, img_clf)
         rp = load_classifier_params(args.roi_model_checkpoint, roi_clf)
-        img_tags, roi_tags = predict_visual_tags(
-            detector, img_clf, ip, roi_clf, rp, args.image_list, names,
-            eps=args.eps)
-        img_tags = img_tags or ["empty"]
-        roi_tags = roi_tags or ["empty"]
+        taggers = (img_clf, ip, roi_clf, rp, names)
 
-    # 3. online visual features (inference.py:248-281)
-    images, roi_images, roi_coors = construct_visual_features(
-        detector, args.image_list, args.eps, args.num_rois, args.num_imgs)
+    def prep_record(raw_text: str, image_list: list) -> dict:
+        """One record -> normalized text, tags, visual tensors, aspect views
+        (inference.py:402-403, :294, :248-281)."""
+        text = common.normalize_comment(raw_text)
+        img_tags, roi_tags = ["empty"], ["empty"]
+        if taggers and image_list:
+            img_clf, ip, roi_clf, rp, names = taggers
+            img_tags, roi_tags = predict_visual_tags(
+                detector, img_clf, ip, roi_clf, rp, image_list, names,
+                eps=args.eps)
+            img_tags = img_tags or ["empty"]
+            roi_tags = roi_tags or ["empty"]
+        images, roi_images, roi_coors = construct_visual_features(
+            detector, image_list, args.eps, args.num_rois, args.num_imgs)
+        views = build_aspect_views(text, img_tags, roi_tags, tokenizer,
+                                   args.max_seq_length, cfg.num_patches)
+        return {"text": text, "img_tags": img_tags, "roi_tags": roi_tags,
+                "images": images, "roi_images": roi_images,
+                "roi_coors": roi_coors, "views": views}
 
-    # 4. params
+    # params
     key = jax.random.PRNGKey(0)
     visual_params = visual.init(key, jnp.zeros((1, 1, 224, 224, 3)))
     visual_params = common.import_resnet_params(visual_params,
                                                 args.resnet_weights, logger)
-    grid, roi = extract_visual(visual, visual_params, jnp.asarray(images)[None],
-                               jnp.asarray(roi_images)[None])
     params = _load_fcmf_params(args.checkpoint, model, cfg, key)
 
-    # 5. all 6 aspects in one batched forward (vs inference.py:304-326 loop)
-    views = build_aspect_views(text, img_tags, roi_tags, tokenizer,
-                               args.max_seq_length, cfg.num_patches)
-    a = len(ASPECTS)
-    logits = model.apply(
-        {"params": params},
-        jnp.asarray(views["input_ids"]),
-        jnp.repeat(grid, a, axis=0),
-        jnp.repeat(roi, a, axis=0),
-        jnp.repeat(jnp.asarray(roi_coors)[None], a, axis=0),
-        jnp.asarray(views["token_type_ids"]),
-        jnp.asarray(views["attention_mask"]),
-        jnp.asarray(views["added_mask"]))
-    preds = np.asarray(jnp.argmax(logits, axis=-1))
-    result = {asp: POLARITIES[preds[i]] for i, asp in enumerate(ASPECTS)}
+    from macsa_tpu.train.steps import fcmf_forward_all_aspects
+    fwd = jax.jit(lambda p, vp, bb: fcmf_forward_all_aspects(
+        model, p, visual, vp, bb, deterministic=True))
 
-    print(json.dumps(result, ensure_ascii=False))
-    if args.output_file:
-        with open(args.output_file, "w") as f:
-            json.dump({"text": args.text, "normalized": text,
-                       "image_tags": img_tags, "roi_tags": roi_tags,
-                       "prediction": result}, f, ensure_ascii=False, indent=2)
-    return result
+    def predict_chunk(recs: list) -> np.ndarray:
+        """records (uniform chunk size) -> polarity indices [len(recs), A];
+        all 6 aspects x all records in one batched forward
+        (vs inference.py:304-326's per-aspect loop)."""
+        batch = {
+            "images": jnp.asarray(np.stack([r["images"] for r in recs])),
+            "roi_images": jnp.asarray(
+                np.stack([r["roi_images"] for r in recs])),
+            "roi_coors": jnp.asarray(
+                np.stack([r["roi_coors"] for r in recs])),
+        }
+        for k in ("input_ids", "token_type_ids", "attention_mask",
+                  "added_mask"):
+            batch[k] = jnp.asarray(np.stack([r["views"][k] for r in recs]))
+        logits = fwd(params, visual_params, batch)
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    if args.input_json is None:  # single-sample mode
+        rec = prep_record(args.text, args.image_list)
+        preds = predict_chunk([rec])[0]
+        result = {asp: POLARITIES[preds[i]] for i, asp in enumerate(ASPECTS)}
+        print(json.dumps(result, ensure_ascii=False))
+        if args.output_file:
+            with open(args.output_file, "w") as f:
+                json.dump({"text": args.text, "normalized": rec["text"],
+                           "image_tags": rec["img_tags"],
+                           "roi_tags": rec["roi_tags"],
+                           "prediction": result}, f, ensure_ascii=False,
+                          indent=2)
+        return result
+
+    # batch serving mode
+    import time
+    with open(args.input_json) as f:
+        records = json.load(f)
+    if not isinstance(records, list) or not records:
+        raise SystemExit(f"--input_json must hold a non-empty JSON list, "
+                         f"got {type(records).__name__}")
+    bs = max(1, min(args.batch_size, len(records)))
+    results, t0 = [], time.time()
+    for lo in range(0, len(records), bs):
+        chunk = records[lo:lo + bs]
+        recs = [prep_record(r.get("text", ""), r.get("image_list", []))
+                for r in chunk]
+        n = len(recs)
+        recs += [recs[-1]] * (bs - n)  # pad to the one compiled shape
+        preds = predict_chunk(recs)[:n]
+        for r, rec, p in zip(chunk, recs, preds):
+            results.append({
+                "text": r.get("text", ""), "normalized": rec["text"],
+                "image_tags": rec["img_tags"], "roi_tags": rec["roi_tags"],
+                "prediction": {asp: POLARITIES[p[i]]
+                               for i, asp in enumerate(ASPECTS)}})
+    dt = time.time() - t0
+    out = args.output_file or (args.input_json + ".predictions.jsonl")
+    with open(out, "w") as f:
+        for r in results:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    summary = {"records": len(results), "batch_size": bs,
+               "records_per_s": round(len(results) / dt, 3),
+               "output_file": out}
+    print(json.dumps(summary, ensure_ascii=False))
+    return summary
 
 
 if __name__ == "__main__":

@@ -17,7 +17,7 @@ Reproduces the reference's checkpoint semantics
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -83,6 +83,19 @@ class CheckpointManager:
             shutil.rmtree(dst_path)
         os.replace(tmp, dst_path)
 
+    def restore_params_only(self, tag: str, state: TrainState) -> TrainState:
+        """Restore only `params` + `visual_params` into `state`.
+
+        For eval-only reloads (the `--do_test` best-checkpoint reload,
+        run_multimodal_fcmf.py:565-570) the optimizer moments — two more
+        params-sized trees, ~2/3 of the payload — are dead weight; skipping
+        them cuts checkpoint IO ~3x.
+        """
+        self._ckptr.wait_until_finished()
+        got = restore_subtrees(self._path(tag), ("params", "visual_params"))
+        return state.replace(params=got["params"],
+                             visual_params=got["visual_params"])
+
     def restore(self, tag: str, state: TrainState) -> Tuple[TrainState, int, float]:
         """Restore into the structure of `state` -> (state, epoch, best)."""
         self._ckptr.wait_until_finished()
@@ -112,6 +125,32 @@ class CheckpointManager:
     def restore_params(self, tag: str, template: Any) -> Any:
         self._ckptr.wait_until_finished()
         return self._ckptr.restore(self._path(tag), template)
+
+
+def restore_subtrees(path: str, keys: Sequence[str]) -> Dict[str, Any]:
+    """Restore only the named top-level subtrees of an orbax checkpoint.
+
+    A full train-state checkpoint is ~3x the params (AdamW `opt_state`
+    carries two more params-sized moment trees), so params-only readers —
+    the inference CLI and the Phase-1 -> Phase-2 encoder transfer
+    (run_multimodal_fcmf.py:382-412) — waste most of the restore on arrays
+    they immediately drop.  This reads the checkpoint's tree metadata,
+    requests just the wanted subtrees via orbax partial restore, and returns
+    them as numpy.  Payloads that have none of the requested keys (e.g. a
+    bare params tree written by `save_params`) are restored whole.
+    """
+    ocp = _ocp()
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ck:
+        meta = ck.metadata(path).item_metadata.tree
+        present = ({k: meta[k] for k in keys if k in meta}
+                   if isinstance(meta, dict) else {})
+        if not present:
+            return ck.restore(path)
+        item = jax.tree_util.tree_map(lambda m: 0, present)
+        restore_args = jax.tree_util.tree_map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), present)
+        return ck.restore(path, args=ocp.args.PyTreeRestore(
+            item=item, restore_args=restore_args, partial_restore=True))
 
 
 def resolve_iaog_checkpoint(path: str) -> "str | None":

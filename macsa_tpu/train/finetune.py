@@ -189,9 +189,10 @@ def main(argv: Optional[list] = None) -> dict:
         ckpt_path = resolve_iaog_checkpoint(args.pretrained_iaog_path)
         if ckpt_path is not None:
             logger.info(f"Transferring IAOG encoder from {ckpt_path}")
-            # restore raw param tree (template-free) and merge encoder subtree
-            import orbax.checkpoint as ocp
-            raw = ocp.StandardCheckpointer().restore(ckpt_path)
+            # partial restore: only the param tree — the Phase-1 optimizer
+            # moments (~2/3 of the checkpoint) are dead weight here
+            from macsa_tpu.train.checkpoints import restore_subtrees
+            raw = restore_subtrees(ckpt_path, ("params",))
             seq2seq_params = raw["params"] if "params" in raw else raw
             params = transfer_encoder_params(seq2seq_params, params)
         else:
@@ -391,7 +392,7 @@ def main(argv: Optional[list] = None) -> dict:
 
     if args.do_test:
         if ckpt.exists("best"):
-            state, _, _ = ckpt.restore("best", state)
+            state = ckpt.restore_params_only("best", state)
             state = place(state)
         test_ds = make_dataset("test")
         loader = DataLoader(test_ds, args.eval_batch_size, num_workers=8)

@@ -251,7 +251,7 @@ def main(argv: Optional[list] = None) -> dict:
 
     if args.do_test:
         if ckpt.exists("best"):
-            state, _, _ = ckpt.restore("best", state)
+            state = ckpt.restore_params_only("best", state)
             state = replicate(state, mesh)
         trues, preds, texts = run_eval(make_dataset("test"))
         report = aspect_report(trues, preds)

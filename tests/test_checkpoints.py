@@ -70,6 +70,53 @@ def test_copy_duplicates_checkpoint(tmp_path):
     assert mgr.exists("last")
 
 
+def test_restore_subtrees_skips_opt_state(tmp_path):
+    """Partial restore pulls only the requested top-level subtrees (the
+    params-only readers: inference CLI, IAOG transfer, --do_test reload)."""
+    from macsa_tpu.train.checkpoints import restore_subtrees
+
+    state = _tiny_state()
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("best", state, epoch=1, best_score=0.3)
+    mgr.finalize()
+
+    got = restore_subtrees(str(tmp_path / "best"), ("params",))
+    assert set(got.keys()) == {"params"}
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(got["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # payloads without the requested keys (bare param trees) restore whole
+    mgr.save_params("raw", {"dense": {"kernel": np.ones((2, 2), np.float32)}})
+    raw = restore_subtrees(str(tmp_path / "raw"), ("params",))
+    np.testing.assert_array_equal(raw["dense"]["kernel"], np.ones((2, 2)))
+
+
+def test_restore_params_only(tmp_path):
+    """Eval reload restores params + visual_params into a fresh state while
+    leaving its optimizer state untouched."""
+    state = _tiny_state()
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save("best", state, epoch=1, best_score=0.3)
+
+    fresh = _tiny_state(seed=5)
+    restored = mgr.restore_params_only("best", fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.visual_params),
+                    jax.tree_util.tree_leaves(restored.visual_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state stays the fresh one (not the checkpoint's)
+    for a, b in zip(jax.tree_util.tree_leaves(fresh.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_transfer_encoder_params():
     """encoder subtree copied, head params untouched, shared embedding
     materialized into bert word embeddings (run_multimodal_fcmf.py:382-412)."""

@@ -112,3 +112,39 @@ def test_inference_cli_end_to_end(synth):
     with open(out_file) as f:
         dumped = json.load(f)
     assert dumped["prediction"] == result and "normalized" in dumped
+
+
+@pytest.mark.slow
+def test_inference_cli_batch_mode(synth):
+    """--input_json batch serving: 3 records through one compiled forward
+    (batch 2 + padded last chunk), JSONL output."""
+    from macsa_tpu.config import ASPECTS, POLARITIES
+    from macsa_tpu.inference.cli import main
+
+    ckpt = synth / "out_ft" / "best"
+    assert ckpt.exists(), "finetune e2e test must run first"
+    records = [
+        {"text": "khách sạn rất đẹp",
+         "image_list": [str(synth / "images" / "img_000.png")]},
+        {"text": "phòng bẩn quá"},
+        {"text": "đồ ăn ngon"},
+    ]
+    in_file = str(synth / "batch_in.json")
+    out_file = str(synth / "batch_out.jsonl")
+    with open(in_file, "w") as f:
+        json.dump(records, f, ensure_ascii=False)
+    summary = main([
+        "--checkpoint", str(ckpt),
+        "--pretrained_hf_model", str(synth / "tok"),
+        "--roi_csv", str(synth / "data" / "roi_data.csv"),
+        "--num_imgs", "2", "--num_rois", "2", "--batch_size", "2",
+        "--resnet_stages", "1,1,1,1",
+        "--input_json", in_file, "--output_file", out_file])
+    assert summary["records"] == 3 and summary["batch_size"] == 2
+    with open(out_file) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 3
+    for rec, line in zip(records, lines):
+        assert line["text"] == rec["text"]
+        assert set(line["prediction"]) == set(ASPECTS)
+        assert all(p in POLARITIES for p in line["prediction"].values())
