@@ -38,8 +38,12 @@ from macsa_tpu.config import ASPECTS, POLARITIES, FCMFConfig, ModelConfig, ResNe
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", type=str, required=True,
+    p.add_argument("--checkpoint", type=str, default=None,
                    help="orbax checkpoint dir OR reference torch .pth file")
+    p.add_argument("--bundle", type=str, default=None,
+                   help="AOT serving bundle dir (macsa_tpu.inference.export); "
+                        "replaces --checkpoint and all architecture flags — "
+                        "shapes/config come from bundle.json")
     p.add_argument("--pretrained_hf_model", type=str, required=True)
     p.add_argument("--image_model_checkpoint", type=str, default=None,
                    help="image aspect classifier (orbax dir or torch .pth)")
@@ -104,23 +108,48 @@ def main(argv: Optional[list] = None) -> dict:
     args = parser.parse_args(argv)
     if (args.text is None) == (args.input_json is None):
         parser.error("exactly one of --text / --input_json is required")
+    if (args.checkpoint is None) == (args.bundle is None):
+        parser.error("exactly one of --checkpoint / --bundle is required")
     logger = setup_logging(None)
     common.enable_compilation_cache()
 
-    fused = common.resolve_fused_attention(args.fused_attention, logger=logger)
-    text_cfg = common.build_text_config(args.pretrained_hf_model, "float32",
-                                        fused_attention=fused)
-    cfg = FCMFConfig(model=ModelConfig(
-                         dtype="float32", fused_attention=fused.enabled,
-                         fused_attention_interpret=fused.interpret),
-                     text=text_cfg,
-                     num_imgs=args.num_imgs, num_roi=args.num_rois,
-                     max_text_len=args.max_seq_length,
-                     decoder_cross_mask_mode=args.cross_mask_mode)
-    tokenizer = common.load_tokenizer(args.pretrained_hf_model)
-    model = FCMF(cfg)
-    visual = VisualFeatures(ResNetConfig(dtype="float32", stage_sizes=tuple(
-        int(s) for s in args.resnet_stages.split(","))))
+    served = image_size = None
+    if args.bundle is not None:
+        # AOT serving path: the StableHLO bundle replaces the model build.
+        # Architecture/shape flags come from bundle.json so the host-side
+        # featurization matches the exported program exactly.
+        from macsa_tpu.inference.export import load_bundle
+        served = load_bundle(args.bundle)
+        mc = served.meta["config"]
+        args.num_imgs, args.num_rois = mc["num_imgs"], mc["num_roi"]
+        args.max_seq_length = mc["max_text_len"]
+        num_patches = mc["num_patches"]
+        image_size = served.meta.get("image_size", 224)
+        if args.batch_size > served.batch_size:
+            logger.warning("--batch_size %d > bundle batch %d; clamping",
+                           args.batch_size, served.batch_size)
+            args.batch_size = served.batch_size
+        tokenizer = common.load_tokenizer(args.pretrained_hf_model)
+    else:
+        fused = common.resolve_fused_attention(args.fused_attention,
+                                               logger=logger)
+        text_cfg = common.build_text_config(args.pretrained_hf_model,
+                                            "float32",
+                                            fused_attention=fused)
+        cfg = FCMFConfig(model=ModelConfig(
+                             dtype="float32", fused_attention=fused.enabled,
+                             fused_attention_interpret=fused.interpret),
+                         text=text_cfg,
+                         num_imgs=args.num_imgs, num_roi=args.num_rois,
+                         max_text_len=args.max_seq_length,
+                         decoder_cross_mask_mode=args.cross_mask_mode)
+        num_patches = cfg.num_patches
+        image_size = 224
+        tokenizer = common.load_tokenizer(args.pretrained_hf_model)
+        model = FCMF(cfg)
+        visual = VisualFeatures(ResNetConfig(
+            dtype="float32", stage_sizes=tuple(
+                int(s) for s in args.resnet_stages.split(","))))
 
     # detector
     if args.yolo_weights:
@@ -157,39 +186,42 @@ def main(argv: Optional[list] = None) -> dict:
             img_tags = img_tags or ["empty"]
             roi_tags = roi_tags or ["empty"]
         images, roi_images, roi_coors = construct_visual_features(
-            detector, image_list, args.eps, args.num_rois, args.num_imgs)
+            detector, image_list, args.eps, args.num_rois, args.num_imgs,
+            size=image_size)
         views = build_aspect_views(text, img_tags, roi_tags, tokenizer,
-                                   args.max_seq_length, cfg.num_patches)
+                                   args.max_seq_length, num_patches)
         return {"text": text, "img_tags": img_tags, "roi_tags": roi_tags,
                 "images": images, "roi_images": roi_images,
                 "roi_coors": roi_coors, "views": views}
 
-    # params
-    key = jax.random.PRNGKey(0)
-    visual_params = visual.init(key, jnp.zeros((1, 1, 224, 224, 3)))
-    visual_params = common.import_resnet_params(visual_params,
-                                                args.resnet_weights, logger)
-    params = _load_fcmf_params(args.checkpoint, model, cfg, key)
+    if served is None:
+        # params
+        key = jax.random.PRNGKey(0)
+        visual_params = visual.init(key, jnp.zeros((1, 1, 224, 224, 3)))
+        visual_params = common.import_resnet_params(
+            visual_params, args.resnet_weights, logger)
+        params = _load_fcmf_params(args.checkpoint, model, cfg, key)
 
-    from macsa_tpu.train.steps import fcmf_forward_all_aspects
-    fwd = jax.jit(lambda p, vp, bb: fcmf_forward_all_aspects(
-        model, p, visual, vp, bb, deterministic=True))
+        from macsa_tpu.train.steps import fcmf_forward_all_aspects
+        fwd = jax.jit(lambda p, vp, bb: fcmf_forward_all_aspects(
+            model, p, visual, vp, bb, deterministic=True))
 
     def predict_chunk(recs: list) -> np.ndarray:
         """records (uniform chunk size) -> polarity indices [len(recs), A];
         all 6 aspects x all records in one batched forward
         (vs inference.py:304-326's per-aspect loop)."""
         batch = {
-            "images": jnp.asarray(np.stack([r["images"] for r in recs])),
-            "roi_images": jnp.asarray(
-                np.stack([r["roi_images"] for r in recs])),
-            "roi_coors": jnp.asarray(
-                np.stack([r["roi_coors"] for r in recs])),
+            "images": np.stack([r["images"] for r in recs]),
+            "roi_images": np.stack([r["roi_images"] for r in recs]),
+            "roi_coors": np.stack([r["roi_coors"] for r in recs]),
         }
         for k in ("input_ids", "token_type_ids", "attention_mask",
                   "added_mask"):
-            batch[k] = jnp.asarray(np.stack([r["views"][k] for r in recs]))
-        logits = fwd(params, visual_params, batch)
+            batch[k] = np.stack([r["views"][k] for r in recs])
+        if served is not None:
+            return served.predict(batch).argmax(-1)
+        logits = fwd(params, visual_params,
+                     {k: jnp.asarray(v) for k, v in batch.items()})
         return np.asarray(jnp.argmax(logits, axis=-1))
 
     if args.input_json is None:  # single-sample mode

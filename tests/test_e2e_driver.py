@@ -115,6 +115,30 @@ def test_inference_cli_end_to_end(synth):
 
 
 @pytest.mark.slow
+def test_inference_cli_bundle_mode(synth):
+    """AOT bundle serving: export the finetuned checkpoint to StableHLO,
+    run the CLI with --bundle, and check it matches --checkpoint mode."""
+    from macsa_tpu.inference.cli import main
+    from macsa_tpu.inference.export import export_bundle
+
+    ckpt = synth / "out_ft" / "best"
+    assert ckpt.exists(), "finetune e2e test must run first"
+    bundle_dir = str(synth / "bundle")
+    export_bundle(checkpoint=str(ckpt), output_dir=bundle_dir, batch_size=2,
+                  pretrained_hf_model=str(synth / "tok"),
+                  resnet_stages=(1, 1, 1, 1), num_imgs=2, num_rois=2,
+                  platforms=("cpu",))
+    common = ["--pretrained_hf_model", str(synth / "tok"),
+              "--roi_csv", str(synth / "data" / "roi_data.csv"),
+              "--text", "khách sạn rất đẹp phòng sạch sẽ",
+              "--image_list", str(synth / "images" / "img_000.png")]
+    got = main(["--bundle", bundle_dir, *common])
+    want = main(["--checkpoint", str(ckpt), "--num_imgs", "2",
+                 "--num_rois", "2", "--resnet_stages", "1,1,1,1", *common])
+    assert got == want
+
+
+@pytest.mark.slow
 def test_inference_cli_batch_mode(synth):
     """--input_json batch serving: 3 records through one compiled forward
     (batch 2 + padded last chunk), JSONL output."""
