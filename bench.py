@@ -144,13 +144,16 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     # Pallas fused attention (ops/fused_attention.py) on by default; set
-    # BENCH_FUSED=0 to measure the plain-XLA attention path
+    # BENCH_FUSED=0 to measure the plain-XLA attention path.  Likewise
+    # BENCH_FUSED_CONV=0 for the unfused XLA ResNet path
+    # (experimental: loses to XLA until conv2 joins the kernel).
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
                                        fused_attention=fused),
                      text=TextEncoderConfig(dtype="bfloat16",
                                             fused_attention=fused))
-    rcfg = ResNetConfig()
+    rcfg = ResNetConfig(fused_conv=fused_conv)
     visual = VisualFeatures(rcfg)
 
     batch = make_batch(cfg, batch_size)

@@ -56,11 +56,12 @@ class FrozenBatchNorm(nn.Module):
         return x * mul + add
 
 
-def _conv(features: int, kernel: int, stride: int = 1, name: str = None):
+def _conv(features: int, kernel: int, stride: int = 1, name: str = None,
+          dtype: jnp.dtype = jnp.bfloat16):
     pad = kernel // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=((pad, pad), (pad, pad)), use_bias=False,
-                   dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name)
+                   dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
 class Bottleneck(nn.Module):
@@ -74,16 +75,18 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         residual = x
-        y = _conv(self.features, 1, name="conv1")(x)
+        y = _conv(self.features, 1, name="conv1", dtype=self.dtype)(x)
         y = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn1")(y)
         y = jax.nn.relu(y)
-        y = _conv(self.features, 3, self.stride, name="conv2")(y)
+        y = _conv(self.features, 3, self.stride, name="conv2",
+                  dtype=self.dtype)(y)
         y = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn2")(y)
         y = jax.nn.relu(y)
-        y = _conv(self.features * 4, 1, name="conv3")(y)
+        y = _conv(self.features * 4, 1, name="conv3", dtype=self.dtype)(y)
         y = FrozenBatchNorm(self.features * 4, dtype=self.dtype, name="bn3")(y)
         if self.downsample:
-            residual = _conv(self.features * 4, 1, self.stride, name="ds_conv")(x)
+            residual = _conv(self.features * 4, 1, self.stride,
+                             name="ds_conv", dtype=self.dtype)(x)
             residual = FrozenBatchNorm(self.features * 4, dtype=self.dtype,
                                        name="ds_bn")(residual)
         return jax.nn.relu(y + residual)

@@ -46,7 +46,9 @@ def main():
                                        fused_attention=fused),
                      text=TextEncoderConfig(dtype="bfloat16",
                                             fused_attention=fused))
-    model, visual = FCMF(cfg), VisualFeatures(ResNetConfig())
+    fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
+    model = FCMF(cfg)
+    visual = VisualFeatures(ResNetConfig(fused_conv=fused_conv))
     batch = make_batch(cfg, b)
     key = jax.random.PRNGKey(0)
 
