@@ -149,3 +149,192 @@ def _bwd(relu, interpret, res, g):
 
 
 fused_matmul_bn_act.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-bottleneck kernel: conv1(1x1) + conv2(3x3) + conv3(1x1) + BN affines
+# + residual + ReLUs in ONE pallas program per image tile.
+# ---------------------------------------------------------------------------
+#
+# Why: splitting the block between pallas 1x1 kernels and XLA's 3x3 conv
+# loses to pure XLA — custom-calls force default layouts, so every
+# pallas<->conv boundary inserts a full-tensor layout copy (measured: the
+# hybrid ran the batch-8 visual step at 81 ms vs XLA's 50 ms).  With conv2
+# *inside* the kernel the intermediate activations never leave VMEM: HBM
+# traffic per block drops from ~4 passes over the widest tensor (conv3
+# write + residual-add read/read/write, plus boundary copies) to exactly
+# one read of x and one write of the output.
+#
+# Measured outcome (v5e batch 8, 2026-08-19): the batch-8 visual step runs
+# 59.2 ms fused vs 50.0 ms XLA.  The saved residual-add HBM traffic is
+# real, but at F<=256 it is re-paid in VPU work (9x roll + mask + f32->bf16
+# cast per block — Mosaic's rotate is 32-bit-only so a1 must stay f32) and
+# in stage-boundary relayouts (4D W=28/14 tilings repack against the 2D
+# row view).  Kept as an off-by-default option (--fused_conv); the default
+# ResNet path remains XLA's conv pipeline, which is already ~64% MFU.
+#
+# conv2 (3x3, stride 1, pad 1) runs as 9 row-shifted matmuls on the
+# flattened [N*H*W, F] activation: shifting by (dy-1)*W + (dx-1) rows
+# aligns neighbor pixels; rows whose (h, w) neighbors fall outside the
+# image are zero-masked (iota-derived masks), which also neutralizes
+# pltpu.roll's wraparound rows.  All 9 shifted operands hit the MXU as
+# plain [M, F] @ [F, F] dots with f32 accumulation.
+
+# Mosaic's scoped-stack allocation runs ~2x this static estimate (extra
+# live temporaries in the unrolled 9-tap loop), so budget well under the
+# ~16 MB/core ceiling.  At 8 MB: stage 2 runs bn=1, stage 3 bn=2; stages 1
+# and 4 (11.6 MB/image and 8.7 MB resident weights) fall back to XLA.
+_BLOCK_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _bottleneck_kernel(x_ref, w1_ref, m1_ref, a1_ref, w2_ref, m2_ref,
+                       a2_ref, w3_ref, m3_ref, a3_ref, o_ref, *, h, w):
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    x = x_ref[...]                     # [M, C] storage dtype
+    m = x.shape[0]
+    feats = w1_ref.shape[1]
+
+    # conv1 1x1 + bn1 + relu; a1 stays f32 — Mosaic's rotate only supports
+    # 32-bit data, and the roll below is a row shift
+    acc = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    a1 = jnp.maximum(acc * m1_ref[...] + a1_ref[...], 0.0)
+
+    # conv2 3x3 (stride 1, pad 1) as 9 shifted matmuls
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    w_idx = row % w
+    h_idx = (row // w) % h
+    acc2 = jnp.zeros((m, feats), f32)
+    for dy in range(3):
+        ok_h = jnp.logical_and(h_idx + (dy - 1) >= 0, h_idx + (dy - 1) < h)
+        for dx in range(3):
+            off = (dy - 1) * w + (dx - 1)
+            ok = jnp.logical_and(
+                ok_h, jnp.logical_and(w_idx + (dx - 1) >= 0,
+                                      w_idx + (dx - 1) < w))
+            # shifted[r] = a1[r + off]; wraparound rows are always masked
+            shifted = pltpu.roll(a1, -off % m, 0) if off else a1
+            shifted = jnp.where(ok, shifted, 0).astype(x.dtype)
+            acc2 = acc2 + jax.lax.dot_general(
+                shifted, w2_ref[dy * 3 + dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+    a2 = jnp.maximum(acc2 * m2_ref[...] + a2_ref[...], 0.0).astype(x.dtype)
+
+    # conv3 1x1 + bn3 + residual(x) + relu
+    acc3 = jax.lax.dot_general(a2, w3_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    y = acc3 * m3_ref[...] + a3_ref[...] + x.astype(f32)
+    o_ref[...] = jnp.maximum(y, 0.0).astype(o_ref.dtype)
+
+
+def block_images(n: int, h: int, w: int, c: int, feats: int):
+    """Images per program: largest divisor of n whose buffers fit the VMEM
+    budget AND whose row tile (bn*h*w) satisfies Mosaic's 8-sublane rule.
+
+    Returns None when no valid tiling exists (e.g. ResNet stage 4's 49
+    rows/image with 8.7 MB of resident weights) — callers fall back to the
+    XLA path for that block.
+    """
+    weights = 2 * (2 * c * feats + 9 * feats * feats)
+    # per image: x + out (bf16, double-buffered by the pipeline) + f32
+    # conv3 accumulator + ~3 F-wide bf16 temporaries + f32 conv2 accumulator
+    per_img = h * w * (2 * c * 4 + 4 * c + 2 * feats * 3 + 4 * feats)
+    best = None
+    for bn in range(1, n + 1):
+        if n % bn or (bn * h * w) % 8:
+            continue
+        if weights + bn * per_img <= _BLOCK_VMEM_BUDGET:
+            best = bn
+    return best
+
+
+def _bottleneck_ref(x2, w1, mul1, add1, w2, mul2, add2, w3, mul3, add3,
+                    n, h, w):
+    """Unfused XLA composition of the same math (backward path + tests)."""
+    c = x2.shape[1]
+    feats = w1.shape[1]
+    a1 = jnp.maximum((x2 @ w1).astype(jnp.float32) * mul1 + add1, 0.0) \
+        .astype(x2.dtype)
+    a1 = a1.reshape(n, h, w, feats)
+    k2 = w2.reshape(3, 3, feats, feats)
+    conv = jax.lax.conv_general_dilated(
+        a1, k2.astype(a1.dtype), (1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    a2 = jnp.maximum(conv * mul2 + add2, 0.0).astype(x2.dtype) \
+        .reshape(n * h * w, feats)
+    y = (a2 @ w3).astype(jnp.float32) * mul3 + add3 + x2.astype(jnp.float32)
+    return jnp.maximum(y, 0.0).astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def fused_bottleneck(x2: Array, w1: Array, mul1: Array, add1: Array,
+                     w2: Array, mul2: Array, add2: Array,
+                     w3: Array, mul3: Array, add3: Array,
+                     n: int = 1, h: int = 1, w: int = 1,
+                     interpret: bool = False) -> Array:
+    """One ResNet bottleneck block (stride 1, identity shortcut), fused.
+
+    x2: [n*h*w, C] flattened NHWC rows; w1 [C, F]; w2 [9, F, F] (the 3x3
+    kernel's HW taps flattened, HWIO order); w3 [F, C]; mul*/add* f32 BN
+    affines.  Returns relu(bn3(conv3(relu(bn2(conv2(relu(bn1(conv1(x))))))))
+    + x) as [n*h*w, C].  Backward (fine-tune-CNN path only) is the exact
+    autodiff of the unfused XLA composition.
+    """
+    return _bneck_fwd(x2, w1, mul1, add1, w2, mul2, add2, w3, mul3, add3,
+                      n, h, w, interpret)[0]
+
+
+def _bneck_fwd(x2, w1, mul1, add1, w2, mul2, add2, w3, mul3, add3,
+               n, h, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = x2.shape[1]
+    feats = w1.shape[1]
+    bn = block_images(n, h, w, c, feats)
+    assert bn is not None, (n, h, w, c, feats)
+    tm = bn * h * w
+    row = lambda i: (i, 0)
+    const2 = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+
+    def vec(a):
+        return a.reshape(1, -1).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_bottleneck_kernel, h=h, w=w),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((tm, c), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, feats), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, feats), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, feats), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, feats, feats), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, feats), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, feats), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((feats, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        out_specs=pl.BlockSpec((tm, c), row, memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=15 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, w1.astype(x2.dtype), vec(mul1), vec(add1), w2.astype(x2.dtype),
+      vec(mul2), vec(add2), w3.astype(x2.dtype), vec(mul3), vec(add3))
+    return out, (x2, w1, mul1, add1, w2, mul2, add2, w3, mul3, add3)
+
+
+def _bneck_bwd(n, h, w, interpret, res, g):
+    args = res
+    _, vjp = jax.vjp(
+        lambda *a: _bottleneck_ref(*a, n, h, w), *args)
+    return vjp(g)
+
+
+fused_bottleneck.defvjp(_bneck_fwd, _bneck_bwd)

@@ -1,22 +1,24 @@
-"""Fused ResNet backbone runner: the frozen-CNN feature extractor with
-Pallas matmul+epilogue kernels for every 1x1 convolution.
+"""Fused ResNet backbone runner: the frozen-CNN feature extractor with a
+whole-bottleneck Pallas kernel per identity block.
 
 Functionally identical to `models.resnet.VisualFeatures` (same parameter
 pytree, same math — reference: fcmf_framework/resnet_utils.py runs
 torchvision resnet152 grid/pooled heads), but re-scheduled for TPU HBM
 bandwidth:
 
-* each bottleneck's 1x1 convs run as `ops.fused_conv.fused_matmul_bn_act`
-  — conv + BN affine + (residual add) + ReLU in one MXU pass, so the
-  widest activations ([N,14,14,1024] etc.) skip one full HBM write+read
-  per block (XLA cannot output-fuse elementwise into convolutions; the
-  separate residual `add_maximum` fusions were ~15 ms of the 112 ms
+* every identity bottleneck (46 of ResNet-152's 50 blocks) runs as ONE
+  `ops.fused_conv.fused_bottleneck` program: conv1/conv2(3x3)/conv3 + BN
+  affines + residual + ReLUs with all intermediates in VMEM, so each
+  block's HBM traffic is exactly one read of x and one write of the
+  output (XLA cannot output-fuse elementwise into convolutions; its
+  separate residual `add_maximum` fusions alone were ~25 ms of the 112 ms
   batch-8 step),
+* activations flow between blocks as flattened [N*H*W, C] rows, so no
+  layout copies appear inside a stage,
 * the grid (7x7 patch) and pooled (ROI vector) heads share ONE trunk pass:
   images and ROI crops are concatenated into a single conv batch instead
-  of two applies (halves the f32->bf16 weight-cast traffic and kernel
-  dispatches),
-* 3x3 convs and the 7x7 stem stay on XLA's conv path (already MXU-bound).
+  of two applies,
+* the 7x7 stem and each stage's strided block 0 stay on XLA's conv path.
 
 The runner consumes the *same* `{"params": {"backbone": ...}}` pytree as
 `VisualFeatures`, so checkpointing and torchvision weight import are
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from macsa_tpu.config import ResNetConfig
-from macsa_tpu.ops.fused_conv import fused_matmul_bn_act
+from macsa_tpu.ops.fused_conv import block_images, fused_bottleneck
 
 Array = jax.Array
 
@@ -60,40 +62,32 @@ def _conv(x: Array, kernel: Array, stride: int) -> Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _matmul_bn(x: Array, kernel: Array, bn: Dict[str, Array],
-               residual2, relu: bool, interpret: bool) -> Array:
-    """1x1 conv + BN (+residual) (+relu) on [..., C] via the Pallas kernel."""
-    cin, cout = kernel.shape[-2], kernel.shape[-1]
-    mul, add = _affine(bn)
-    x2 = x.reshape(-1, cin)
-    y = fused_matmul_bn_act(x2, kernel.reshape(cin, cout).astype(x.dtype),
-                            mul, add, residual2, relu, interpret)
-    return y
-
-
-def _bottleneck(p: Dict, x: Array, stride: int, downsample: bool,
-                interpret: bool) -> Array:
-    """models.resnet.Bottleneck with fused 1x1 convs.
-
-    relu(bn3(conv3(relu(bn2(conv2(relu(bn1(conv1(x)))))))) + residual);
-    the stride sits on the 3x3 conv2, the downsample branch is a strided
-    1x1 conv + BN (no relu).
-    """
-    n, h, w, cin = x.shape
-    y = _matmul_bn(x, p["conv1"]["kernel"], p["bn1"], None, True, interpret)
-    feats = p["conv1"]["kernel"].shape[-1]
-    y = _conv(y.reshape(n, h, w, feats), p["conv2"]["kernel"], stride)
-    y = _bn_relu(y, p["bn2"])
-    n2, h2, w2, _ = y.shape
+def _bottleneck_xla(p: Dict, x: Array, stride: int, downsample: bool
+                    ) -> Array:
+    """Pure-XLA bottleneck (models.resnet.Bottleneck math), used for the
+    stride/downsample block 0 of each stage — its strided conv2 does not
+    fit the row-shift trick, and 4 blocks of 50 are not worth a second
+    kernel variant."""
+    residual = x
+    y = _bn_relu(_conv(x, p["conv1"]["kernel"], 1), p["bn1"])
+    y = _bn_relu(_conv(y, p["conv2"]["kernel"], stride), p["bn2"])
+    y = _bn_relu(_conv(y, p["conv3"]["kernel"], 1), p["bn3"], relu=False)
     if downsample:
-        # 1x1 stride-s conv == strided spatial subsample + matmul
-        xs = x[:, ::stride, ::stride, :]
-        res = _matmul_bn(xs, p["ds_conv"]["kernel"], p["ds_bn"], None,
-                         False, interpret)
-    else:
-        res = x.reshape(n * h * w, cin)
-    out = _matmul_bn(y, p["conv3"]["kernel"], p["bn3"], res, True, interpret)
-    return out.reshape(n2, h2, w2, out.shape[-1])
+        residual = _bn_relu(_conv(x, p["ds_conv"]["kernel"], stride),
+                            p["ds_bn"], relu=False)
+    return jax.nn.relu(y + residual)
+
+
+def _block_args(p: Dict):
+    """Bottleneck param tree -> fused_bottleneck weight/affine args."""
+    w1 = p["conv1"]["kernel"]
+    c, feats = w1.shape[-2], w1.shape[-1]
+    m1, a1 = _affine(p["bn1"])
+    m2, a2 = _affine(p["bn2"])
+    m3, a3 = _affine(p["bn3"])
+    w2 = p["conv2"]["kernel"].reshape(9, feats, feats)
+    w3 = p["conv3"]["kernel"].reshape(feats, c)
+    return (w1.reshape(c, feats), m1, a1, w2, m2, a2, w3, m3, a3)
 
 
 def run_backbone(variables: Dict, x: Array, cfg: ResNetConfig,
@@ -102,6 +96,10 @@ def run_backbone(variables: Dict, x: Array, cfg: ResNetConfig,
 
     Mirrors models.resnet.ResNet.__call__ (stem -> 4 stages of
     bottlenecks) over the same `{"params": {"backbone": ...}}` pytree.
+    Stem + the strided block 0 of each stage run on XLA; every identity
+    bottleneck runs as ONE `fused_bottleneck` pallas program, with the
+    activation kept as flattened [N*H*W, C] rows between blocks so the
+    only layout copies are the two reshapes at each stage boundary.
     """
     bp = variables["params"]["backbone"]
     dt = jnp.dtype(cfg.dtype)
@@ -110,10 +108,26 @@ def run_backbone(variables: Dict, x: Array, cfg: ResNetConfig,
     x = _bn_relu(x, bp["bn1"])
     x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
     for stage, num_blocks in enumerate(cfg.stage_sizes):
-        for block in range(num_blocks):
-            stride = 2 if (stage > 0 and block == 0) else 1
-            x = _bottleneck(bp[f"layer{stage + 1}_{block}"], x, stride,
-                            downsample=(block == 0), interpret=interpret)
+        stride = 2 if stage > 0 else 1
+        x = _bottleneck_xla(bp[f"layer{stage + 1}_0"], x, stride,
+                            downsample=True)
+        if num_blocks == 1:
+            continue
+        n, h, w, c = x.shape
+        feats = bp[f"layer{stage + 1}_1"]["conv1"]["kernel"].shape[-1]
+        if block_images(n, h, w, c, feats) is None:
+            # no VMEM-feasible whole-image tiling (e.g. stage 4's 49
+            # rows/image + 8.7 MB resident weights) -> XLA blocks
+            for block in range(1, num_blocks):
+                x = _bottleneck_xla(bp[f"layer{stage + 1}_{block}"], x,
+                                    1, downsample=False)
+            continue
+        x2 = x.reshape(n * h * w, c)
+        for block in range(1, num_blocks):
+            x2 = fused_bottleneck(
+                x2, *_block_args(bp[f"layer{stage + 1}_{block}"]),
+                n, h, w, interpret)
+        x = x2.reshape(n, h, w, c)
     return x
 
 
