@@ -139,9 +139,9 @@ class BertSelfAttention(nn.Module):
                                       param_dtype=jnp.float32,
                                       kernel_init=normal_init(cfg.initializer_range),
                                       name=name)
-        q = split_heads(dense("query")(q_states), cfg.num_attention_heads)
-        k = split_heads(dense("key")(kv_states), cfg.num_attention_heads)
-        v = split_heads(dense("value")(kv_states), cfg.num_attention_heads)
+        qr = dense("query")(q_states)
+        kr = dense("key")(kv_states)
+        vr = dense("value")(kv_states)
         rng = (None if deterministic or cfg.attention_probs_dropout_prob == 0.0
                else self.make_rng("dropout"))
         rate = 0.0 if rng is None else cfg.attention_probs_dropout_prob
@@ -154,23 +154,27 @@ class BertSelfAttention(nn.Module):
         if (cfg.fused_attention and additive_mask is not None
                 and additive_mask.ndim == 4 and additive_mask.shape[1] == 1
                 and additive_mask.shape[2] == 1
-                and q.shape[2] == k.shape[2] and q.shape[2] >= 32
+                and qr.shape[1] == kr.shape[1] and qr.shape[1] >= 32
                 # interpret mode has no lowering for the in-kernel PRNG —
                 # training dropout on CPU stays on the XLA path
                 and not (interpret and rate > 0.0)):
+            # the kernel consumes the projections' native [B, L, H*d]
+            # layout and returns merged heads — no transpose ops at all
             from macsa_tpu.ops.fused_attention import fused_self_attention
             if rng is None:
                 seed = jnp.zeros((1,), jnp.int32)
             else:
                 seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1,
                                           dtype=jnp.int32)
-            ctx = fused_self_attention(
-                q, k, v, additive_mask[:, 0, 0, :].astype(jnp.float32),
-                seed, rate, interpret)
-        else:
-            ctx = attention_core(q, k, v, additive_mask,
-                                 dropout_rate=cfg.attention_probs_dropout_prob,
-                                 deterministic=deterministic, dropout_rng=rng)
+            return fused_self_attention(
+                qr, kr, vr, additive_mask[:, 0, 0, :].astype(jnp.float32),
+                seed, cfg.num_attention_heads, rate, interpret)
+        q = split_heads(qr, cfg.num_attention_heads)
+        k = split_heads(kr, cfg.num_attention_heads)
+        v = split_heads(vr, cfg.num_attention_heads)
+        ctx = attention_core(q, k, v, additive_mask,
+                             dropout_rate=cfg.attention_probs_dropout_prob,
+                             deterministic=deterministic, dropout_rng=rng)
         return merge_heads(ctx)
 
 

@@ -7,6 +7,10 @@ precision).  The in-kernel PRNG dropout path needs a real TPU
 TPU-side checks recorded in docs/DESIGN.md: seed-deterministic outputs,
 seed sensitivity, mean ~= deterministic output, and finite-difference
 agreement of the custom VJP through the dropout mask.
+
+The kernel consumes the projections' native [B, L, H*d] layout (heads are
+sliced in-kernel); the reference math runs on split heads and is merged
+back for comparison.
 """
 
 import jax
@@ -16,13 +20,25 @@ import pytest
 
 from macsa_tpu.ops.fused_attention import attention_reference, fused_self_attention
 
+B, H, D = 2, 4, 8
+
+
+def _merged(rng, b, l, hd):
+    return jnp.asarray(rng.normal(size=(b, l, hd)).astype(np.float32))
+
+
+def _reference(q3, k3, v3, mask, h):
+    split = lambda x: x.reshape(x.shape[0], x.shape[1], h, -1).transpose(
+        0, 2, 1, 3)
+    out = attention_reference(split(q3), split(k3), split(v3), mask)
+    return out.transpose(0, 2, 1, 3).reshape(q3.shape)
+
 
 @pytest.fixture
 def qkvm(rng):
-    b, h, l, d = 2, 3, 20, 16
-    f = lambda: jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
-    q, k, v = f(), f(), f()
-    mask = np.zeros((b, l), np.float32)
+    l = 20  # deliberately sublane-unaligned: exercises implicit pad rows
+    q, k, v = (_merged(rng, B, l, H * D) for _ in range(3))
+    mask = np.zeros((B, l), np.float32)
     mask[:, -4:] = np.finfo(np.float32).min  # HF-style padding mask values
     return q, k, v, jnp.asarray(mask)
 
@@ -30,9 +46,21 @@ def qkvm(rng):
 def test_forward_matches_reference(qkvm):
     q, k, v, mask = qkvm
     seed = jnp.zeros((1,), jnp.int32)
-    out = fused_self_attention(q, k, v, mask, seed, 0.0, True)
-    ref = attention_reference(q, k, v, mask)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    out = fused_self_attention(q, k, v, mask, seed, H, 0.0, True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_reference(q, k, v, mask, H)),
+                               atol=1e-5)
+
+
+def test_forward_aligned_length(rng):
+    l = 32  # already sublane-aligned: no pad rows at all
+    q, k, v = (_merged(rng, B, l, H * D) for _ in range(3))
+    mask = jnp.zeros((B, l), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    out = fused_self_attention(q, k, v, mask, seed, H, 0.0, True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_reference(q, k, v, mask, H)),
+                               atol=1e-5)
 
 
 def test_gradients_match_reference(qkvm, rng):
@@ -40,26 +68,13 @@ def test_gradients_match_reference(qkvm, rng):
     seed = jnp.zeros((1,), jnp.int32)
     w = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
     g_fused = jax.grad(
-        lambda *a: (fused_self_attention(*a, mask, seed, 0.0, True) * w).sum(),
-        argnums=(0, 1, 2))(q, k, v)
+        lambda *a: (fused_self_attention(*a, mask, seed, H, 0.0, True)
+                    * w).sum(), argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(
-        lambda *a: (attention_reference(*a, mask) * w).sum(),
+        lambda *a: (_reference(*a, mask, H) * w).sum(),
         argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-
-
-def test_rectangular_and_unpadded_shapes(rng):
-    # Lq != Lk and already-aligned lengths both go through the same padding
-    b, h, d = 1, 2, 8
-    q = jnp.asarray(rng.normal(size=(b, h, 5, d)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(b, h, 32, d)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(b, h, 32, d)).astype(np.float32))
-    mask = jnp.zeros((b, 32), jnp.float32)
-    seed = jnp.zeros((1,), jnp.int32)
-    out = fused_self_attention(q, k, v, mask, seed, 0.0, True)
-    ref = attention_reference(q, k, v, mask)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_bert_self_attention_fused_flag_parity(rng):
