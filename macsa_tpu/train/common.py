@@ -138,6 +138,12 @@ def resolve_fused_attention(flag: str, mp: int = 1,
     Tensor parallelism (mp > 1) forces the kernel OFF: `pallas_call` has no
     GSPMD partitioning rule, so head-sharded QKV would either fail to
     compile or silently force replication/all-gathers.
+
+    auto is also conservative about multi-chip data parallelism: the
+    Mosaic custom-call's GSPMD behavior under a dp-sharded batch cannot be
+    verified on this single-chip setup (the CPU-mesh tests exercise
+    interpret mode, which partitions as ordinary XLA ops), so auto keeps
+    the XLA path when >1 TPU device is visible; explicit 'on' overrides.
     """
     if flag == "off":
         return FusedAttention(False, False)
@@ -149,6 +155,13 @@ def resolve_fused_attention(flag: str, mp: int = 1,
         return FusedAttention(False, False)
     if flag == "on":
         return FusedAttention(True, not on_tpu)
+    if on_tpu:
+        import jax
+        if jax.device_count() > 1 and jax.default_backend() != "cpu":
+            if logger is not None:
+                logger.info("fused kernels: auto -> off (multi-chip mesh; "
+                            "pass --fused_attention on to override)")
+            return FusedAttention(False, False)
     return FusedAttention(on_tpu, False)
 
 
