@@ -151,8 +151,8 @@ def main(argv: Optional[list] = None) -> dict:
         image_size = 224
         tokenizer = common.load_tokenizer(args.pretrained_hf_model)
         model = FCMF(cfg)
-        fconv = common.resolve_fused_attention(args.fused_conv,
-                                               logger=logger)
+        fconv = common.resolve_fused_attention(args.fused_conv, logger=logger,
+                                               multichip_ok=False)
         visual = VisualFeatures(ResNetConfig(
             dtype="float32", stage_sizes=tuple(
                 int(s) for s in args.resnet_stages.split(",")),

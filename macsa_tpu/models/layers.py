@@ -158,17 +158,34 @@ class BertSelfAttention(nn.Module):
                 # interpret mode has no lowering for the in-kernel PRNG —
                 # training dropout on CPU stays on the XLA path
                 and not (interpret and rate > 0.0)):
-            # the kernel consumes the projections' native [B, L, H*d]
-            # layout and returns merged heads — no transpose ops at all
-            from macsa_tpu.ops.fused_attention import fused_self_attention
-            if rng is None:
-                seed = jnp.zeros((1,), jnp.int32)
-            else:
-                seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1,
-                                          dtype=jnp.int32)
-            return fused_self_attention(
-                qr, kr, vr, additive_mask[:, 0, 0, :].astype(jnp.float32),
-                seed, cfg.num_attention_heads, rate, interpret)
+            # Multi-chip meshes: the kernel partitions itself via shard_map
+            # over the registered mesh (batch over dp, heads over mp) —
+            # pallas_call has no GSPMD rule, so the bare call under a
+            # sharded jit would be replicated.  Falls back to the XLA path
+            # when the static shapes don't tile the mesh.
+            from macsa_tpu.parallel.mesh import get_kernel_mesh
+            mesh = get_kernel_mesh()
+            sharded_ok = mesh is not None and (
+                qr.shape[0] % mesh.shape.get("dp", 1) == 0
+                and cfg.num_attention_heads % mesh.shape.get("mp", 1) == 0)
+            if mesh is None or sharded_ok:
+                # the kernel consumes the projections' native [B, L, H*d]
+                # layout and returns merged heads — no transpose ops at all
+                from macsa_tpu.ops.fused_attention import (
+                    fused_self_attention, fused_self_attention_sharded)
+                if rng is None:
+                    seed = jnp.zeros((1,), jnp.int32)
+                else:
+                    seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1,
+                                              dtype=jnp.int32)
+                mask_row = additive_mask[:, 0, 0, :].astype(jnp.float32)
+                if mesh is None:
+                    return fused_self_attention(
+                        qr, kr, vr, mask_row, seed,
+                        cfg.num_attention_heads, rate, interpret)
+                return fused_self_attention_sharded(
+                    qr, kr, vr, mask_row, seed, cfg.num_attention_heads,
+                    rate, interpret, mesh=mesh)
         q = split_heads(qr, cfg.num_attention_heads)
         k = split_heads(kr, cfg.num_attention_heads)
         v = split_heads(vr, cfg.num_attention_heads)

@@ -245,6 +245,58 @@ def _bwd(num_heads, rate, interpret, res, g):
 fused_self_attention.defvjp(_fwd, _bwd)
 
 
+def fused_self_attention_sharded(q: Array, k: Array, v: Array, mask: Array,
+                                 seed: Array, num_heads: int,
+                                 rate: float = 0.0, interpret: bool = False,
+                                 *, mesh, dp_axis: str = "dp",
+                                 mp_axis: str = "mp") -> Array:
+    """`fused_self_attention` partitioned over a device mesh via shard_map.
+
+    `pallas_call` lowers to an opaque custom call with no GSPMD
+    partitioning rule, so under a multi-chip jit the bare kernel would be
+    replicated (all-gathering the dp-sharded batch).  This wrapper
+    partitions it manually — the composition the reference gets for free
+    from DDP (run_multimodal_fcmf.py:126-132) composing with its kernels:
+
+    * batch rows shard over `dp_axis` (the kernel grid is one program per
+      row — embarrassingly parallel),
+    * heads shard over `mp_axis`: the Megatron TP rules
+      (parallel/sharding.py) column-shard the q/k/v projections, so the
+      [B, L, H*d] activations arrive head-sharded on the last dim; each
+      shard runs the kernel on its own ``num_heads / mp`` heads and the
+      head-sharded output feeds the row-sharded output projection with no
+      resharding at all.  Attention is head-independent, so this is exact.
+
+    The dropout seed is offset by the shard's linear mesh index so every
+    shard draws an independent PRNG stream; forward and backward apply the
+    same offset, keeping the regenerated masks identical.
+
+    Requires B % dp == 0 and num_heads % mp == 0 (callers check and fall
+    back to the XLA path otherwise).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape.get(dp_axis, 1)
+    mp = mesh.shape.get(mp_axis, 1)
+    if q.shape[0] % dp != 0:
+        raise ValueError(f"batch {q.shape[0]} not divisible by {dp_axis}={dp}")
+    if num_heads % mp != 0:
+        raise ValueError(f"{num_heads} heads not divisible by {mp_axis}={mp}")
+
+    def local(q, k, v, mask, seed):
+        idx = jax.lax.axis_index(dp_axis) * mp
+        if mp > 1:
+            idx = idx + jax.lax.axis_index(mp_axis)
+        return fused_self_attention(q, k, v, mask,
+                                    seed + idx.astype(seed.dtype),
+                                    num_heads // mp, rate, interpret)
+
+    qkv = P(dp_axis, None, mp_axis if mp > 1 else None)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(qkv, qkv, qkv, P(dp_axis, None), P()),
+                         out_specs=qkv, check_vma=False)(q, k, v, mask, seed)
+
+
 def attention_reference(q, k, v, mask):
     """Unfused XLA math (no dropout) on [B, H, L, d] for parity tests."""
     d = q.shape[-1]

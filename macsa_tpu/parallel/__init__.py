@@ -3,4 +3,7 @@ from macsa_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    set_kernel_mesh,
+    get_kernel_mesh,
+    kernel_mesh,
 )

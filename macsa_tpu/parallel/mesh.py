@@ -48,6 +48,47 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     return Mesh(arr, axis_names=("dp", "mp"))
 
 
+_KERNEL_MESH: Optional[Mesh] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh Pallas kernels partition themselves over.
+
+    `pallas_call` has no GSPMD partitioning rule, so kernels inside a
+    multi-chip jit must be wrapped in `shard_map` over the concrete mesh
+    (ops/fused_attention.fused_self_attention_sharded).  Model code is
+    built from hashable configs that cannot carry a Mesh, so drivers
+    register it here after `make_mesh`; layers consult it at trace time.
+    Pass None to clear (single-chip paths call the kernel bare).
+    """
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh
+
+
+def get_kernel_mesh() -> Optional[Mesh]:
+    """The registered kernel mesh, or None when it would be a no-op
+    (unset, or a trivial 1x1 mesh where the bare kernel call is correct)."""
+    m = _KERNEL_MESH
+    if m is None or all(s == 1 for s in m.shape.values()):
+        return None
+    return m
+
+
+class kernel_mesh:
+    """Context manager: register `mesh` for the block, restore after."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self.prev = _KERNEL_MESH
+        set_kernel_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_kernel_mesh(self.prev)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over dp, replicate the rest."""
     return NamedSharding(mesh, P("dp"))

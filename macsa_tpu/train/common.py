@@ -126,8 +126,8 @@ def default_compute_platform() -> str:
     return jax.default_backend()
 
 
-def resolve_fused_attention(flag: str, mp: int = 1,
-                            logger=None) -> FusedAttention:
+def resolve_fused_attention(flag: str, mp: int = 1, logger=None,
+                            multichip_ok: bool = True) -> FusedAttention:
     """'on'/'off'/'auto' -> FusedAttention(enabled, interpret).
 
     auto enables the Pallas fused-attention kernel only on TPU platforms
@@ -135,32 +135,28 @@ def resolve_fused_attention(flag: str, mp: int = 1,
     accelerators are not assumed compatible).  'on' on a non-TPU platform
     runs the kernel in (slow) interpret mode — a debugging escape hatch.
 
-    Tensor parallelism (mp > 1) forces the kernel OFF: `pallas_call` has no
-    GSPMD partitioning rule, so head-sharded QKV would either fail to
-    compile or silently force replication/all-gathers.
+    Multi-chip meshes and tensor parallelism compose through shard_map
+    (ops/fused_attention.fused_self_attention_sharded: batch over dp,
+    heads over mp) — the drivers register the mesh via
+    `parallel.mesh.set_kernel_mesh` right after `make_mesh`, and the
+    attention layer partitions the kernel over it at trace time.  So auto
+    no longer drops to the XLA path when >1 device is visible.
 
-    auto is also conservative about multi-chip data parallelism: the
-    Mosaic custom-call's GSPMD behavior under a dp-sharded batch cannot be
-    verified on this single-chip setup (the CPU-mesh tests exercise
-    interpret mode, which partitions as ordinary XLA ops), so auto keeps
-    the XLA path when >1 TPU device is visible; explicit 'on' overrides.
+    `multichip_ok=False` restores the conservative gate for kernels that
+    have NO shard_map wrapper (ops/fused_resnet): auto forces those off on
+    multi-chip meshes, where the bare pallas_call would be GSPMD-replicated.
     """
     if flag == "off":
         return FusedAttention(False, False)
     on_tpu = default_compute_platform() in ("tpu", "axon")
-    if mp > 1:
-        if flag == "on" and logger is not None:
-            logger.warning("--fused_attention on is incompatible with --mp>1 "
-                           "(no GSPMD rule for pallas_call); forcing off")
-        return FusedAttention(False, False)
     if flag == "on":
         return FusedAttention(True, not on_tpu)
-    if on_tpu:
+    if on_tpu and not multichip_ok:
         import jax
         if jax.device_count() > 1 and jax.default_backend() != "cpu":
             if logger is not None:
-                logger.info("fused kernels: auto -> off (multi-chip mesh; "
-                            "pass --fused_attention on to override)")
+                logger.info("fused conv: auto -> off (multi-chip mesh and no "
+                            "shard_map wrapper; pass 'on' to override)")
             return FusedAttention(False, False)
     return FusedAttention(on_tpu, False)
 

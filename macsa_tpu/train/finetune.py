@@ -114,7 +114,8 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.models.resnet import VisualFeatures
     from macsa_tpu.parallel.mesh import (fetch_global, make_mesh,
                                          maybe_initialize_distributed,
-                                         replicate, shard_batch)
+                                         replicate, set_kernel_mesh,
+                                         shard_batch)
     from macsa_tpu.train import common
     from macsa_tpu.train.checkpoints import (CheckpointManager,
                                              resolve_iaog_checkpoint,
@@ -153,7 +154,7 @@ def main(argv: Optional[list] = None) -> dict:
                      decoder_cross_mask_mode=args.cross_mask_mode,
                      use_mde=args.use_mde)
     fconv = common.resolve_fused_attention(args.fused_conv, mp=args.mp,
-                                           logger=logger)
+                                           logger=logger, multichip_ok=False)
     rcfg = ResNetConfig(dtype=dtype, stage_sizes=tuple(
         int(s) for s in args.resnet_stages.split(",")),
         fused_conv=fconv.enabled, fused_conv_interpret=fconv.interpret)
@@ -239,6 +240,7 @@ def main(argv: Optional[list] = None) -> dict:
         logger.info(f"resumed from epoch {start_epoch}, best F1 {best_f1:.4f}")
 
     mesh = make_mesh(mp=args.mp)
+    set_kernel_mesh(mesh)  # Pallas kernels shard_map themselves over this
     if args.mp > 1:
         from macsa_tpu.parallel.sharding import shard_state, state_shardings
         state_shard = state_shardings(state, mesh)

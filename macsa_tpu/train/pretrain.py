@@ -117,7 +117,8 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.models.seq2seq import FCMFSeq2Seq
     from macsa_tpu.parallel.mesh import (make_mesh,
                                          maybe_initialize_distributed,
-                                         replicate, shard_batch)
+                                         replicate, set_kernel_mesh,
+                                         shard_batch)
     from macsa_tpu.train import common
     from macsa_tpu.train.checkpoints import CheckpointManager
     from macsa_tpu.train.optim import linear_warmup_schedule, make_adamw
@@ -159,7 +160,7 @@ def main(argv: Optional[list] = None) -> dict:
                             num_heads=cfg.model.num_attention_heads,
                             max_decode_len=args.max_len_decoder, dtype=dtype)
     fconv = common.resolve_fused_attention(args.fused_conv, mp=args.mp,
-                                           logger=logger)
+                                           logger=logger, multichip_ok=False)
     rcfg = ResNetConfig(dtype=dtype, stage_sizes=tuple(
         int(s) for s in args.resnet_stages.split(",")),
         fused_conv=fconv.enabled, fused_conv_interpret=fconv.interpret)
@@ -229,6 +230,7 @@ def main(argv: Optional[list] = None) -> dict:
         logger.info(f"resumed from epoch {start_epoch}")
 
     mesh = make_mesh(mp=args.mp)
+    set_kernel_mesh(mesh)  # Pallas kernels shard_map themselves over this
     if args.mp > 1:
         from macsa_tpu.parallel.sharding import shard_state, state_shardings
         state_shard = state_shardings(state, mesh)

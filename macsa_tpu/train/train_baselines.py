@@ -77,7 +77,8 @@ def main(argv: Optional[list] = None) -> dict:
     from macsa_tpu.config import ResNetConfig
     from macsa_tpu.parallel.mesh import (fetch_global, make_mesh,
                                          maybe_initialize_distributed,
-                                         replicate, shard_batch)
+                                         replicate, set_kernel_mesh,
+                                         shard_batch)
     from macsa_tpu.train import common
     from macsa_tpu.train.baseline_steps import (make_baseline_eval_step,
                                                 make_baseline_train_step)
@@ -143,7 +144,8 @@ def main(argv: Optional[list] = None) -> dict:
         model = TomBERT(text_cfg)
     else:
         model = EFCapTrRoBERTa(text_cfg)
-    fconv = common.resolve_fused_attention(args.fused_conv, logger=logger)
+    fconv = common.resolve_fused_attention(args.fused_conv, logger=logger,
+                                           multichip_ok=False)
     visual = VisualFeatures(ResNetConfig(
         dtype=dtype, fused_conv=fconv.enabled,
         fused_conv_interpret=fconv.interpret)) if uses_visual else None
@@ -201,6 +203,7 @@ def main(argv: Optional[list] = None) -> dict:
         state, start_epoch, best_f1 = ckpt.restore(args.resume_from_checkpoint, state)
 
     mesh = make_mesh()
+    set_kernel_mesh(mesh)  # Pallas kernels shard_map themselves over this
     state = replicate(state, mesh)
     train_step = make_baseline_train_step(model, visual, mesh=mesh)
     eval_step = make_baseline_eval_step(model, visual, mesh=mesh)

@@ -21,19 +21,19 @@ from macsa_tpu.train.state import TrainState
 MODEL, TEXT, CFG, DEC = small_test_configs()
 
 
-def _make(rng, b=8):
-    l = CFG.max_text_len
+def _make(rng, b=8, cfg=CFG):
+    l = cfg.max_text_len
     return {
         "input_ids": rng.integers(2, TEXT.vocab_size, size=(b, 6, l)).astype(np.int32),
         "token_type_ids": np.zeros((b, 6, l), np.int32),
         "attention_mask": np.ones((b, 6, l), np.int32),
-        "added_mask": np.ones((b, 6, l + CFG.num_patches), np.int32),
+        "added_mask": np.ones((b, 6, l + cfg.num_patches), np.int32),
         "labels": rng.integers(0, 4, size=(b, 6)).astype(np.int32),
-        "grid": rng.normal(size=(b, CFG.num_imgs, CFG.num_patches,
-                                 CFG.visual_feat_dim)).astype(np.float32),
-        "roi": rng.normal(size=(b, CFG.num_imgs, CFG.num_roi,
-                                CFG.visual_feat_dim)).astype(np.float32),
-        "roi_coors": rng.uniform(0, 1, size=(b, CFG.num_imgs, CFG.num_roi,
+        "grid": rng.normal(size=(b, cfg.num_imgs, cfg.num_patches,
+                                 cfg.visual_feat_dim)).astype(np.float32),
+        "roi": rng.normal(size=(b, cfg.num_imgs, cfg.num_roi,
+                                cfg.visual_feat_dim)).astype(np.float32),
+        "roi_coors": rng.uniform(0, 1, size=(b, cfg.num_imgs, cfg.num_roi,
                                              4)).astype(np.float32),
     }
 
@@ -53,8 +53,8 @@ def test_leaf_spec_rules():
     assert leaf_spec(k("classifier", "kernel"), w2) == P()
 
 
-def _run(mesh, batch, tp=False, steps=3):
-    model = FCMF(CFG)
+def _run(mesh, batch, tp=False, steps=3, cfg=CFG):
+    model = FCMF(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.asarray(batch["input_ids"][:1, 0]),
                         jnp.asarray(batch["grid"][:1]),
@@ -113,3 +113,38 @@ def test_tp_matches_replicated(rng, cpu_devices):
     got = _run(mesh_tp, batch, tp=True)
     assert ref[0] > ref[-1], f"loss should decrease: {ref}"
     np.testing.assert_allclose(got, ref, rtol=0, atol=5e-4)
+
+
+def test_fused_attention_composes_with_tp(rng, cpu_devices):
+    """The shard_map-wrapped Pallas kernel (interpret mode) must reproduce
+    the XLA-path training losses on both a dp8 mesh and a dp4 x mp2 TP mesh
+    — the fused-attention x multi-chip composition (VERDICT r2 item 1).
+
+    The kernel shards batch over dp and heads over mp: with the Megatron
+    column-sharded q/k/v projections, its inputs/outputs are already in the
+    TP-natural layout, so no resharding is inserted around it."""
+    import dataclasses
+
+    from macsa_tpu.parallel.mesh import kernel_mesh
+
+    if len(cpu_devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    # L >= 32 so the text-encoder blocks hit the kernel's engagement gate
+    fused = lambda c: dataclasses.replace(c, fused_attention=True,
+                                          fused_attention_interpret=True)
+    cfg_plain = dataclasses.replace(CFG, max_text_len=40)
+    cfg_fused = dataclasses.replace(cfg_plain, model=fused(MODEL),
+                                    text=fused(TEXT))
+    batch = _make(rng, cfg=cfg_plain)
+
+    mesh_dp = make_mesh(dp=8, mp=1, devices=cpu_devices[:8])
+    ref = _run(mesh_dp, batch, cfg=cfg_plain)
+
+    with kernel_mesh(mesh_dp):
+        got_dp = _run(mesh_dp, batch, cfg=cfg_fused)
+    np.testing.assert_allclose(got_dp, ref, rtol=0, atol=5e-4)
+
+    mesh_tp = make_mesh(dp=4, mp=2, devices=cpu_devices[:8])
+    with kernel_mesh(mesh_tp):
+        got_tp = _run(mesh_tp, batch, tp=True, cfg=cfg_fused)
+    np.testing.assert_allclose(got_tp, ref, rtol=0, atol=5e-4)
