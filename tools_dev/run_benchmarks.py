@@ -1,0 +1,108 @@
+"""Run every bench.py mode and write one auditable record.
+
+VERDICT r2 item 4: the README's per-mode throughput claims (pretrain,
+inference, breakdown modes) need a committed, reproducible artifact — not
+self-reported numbers.  This script runs `bench.py` once per mode in a
+fresh subprocess (exactly how the driver runs it), captures the raw
+stderr/stdout and wall-clock timestamps, and writes `docs/BENCHMARKS.json`.
+
+Usage (on the TPU host):
+    python tools_dev/run_benchmarks.py [--modes full,model,...] [--out PATH]
+
+Each entry records: mode, env overrides, start/end ISO timestamps, wall
+seconds, the parsed JSON result line, and the raw stderr (init /
+compile+first-step / per-step breakdown lines included).
+"""
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference")
+
+
+def run_mode(mode: str, extra_env=None):
+    env = dict(os.environ)
+    env["BENCH_MODE"] = mode
+    env.update(extra_env or {})
+    start = datetime.datetime.now(datetime.timezone.utc)
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          capture_output=True, text=True, cwd=REPO)
+    wall = time.time() - t0
+    end = datetime.datetime.now(datetime.timezone.utc)
+    parsed = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return {
+        "mode": mode,
+        "env": {"BENCH_MODE": mode, **(extra_env or {})},
+        "start_utc": start.isoformat(timespec="seconds"),
+        "end_utc": end.isoformat(timespec="seconds"),
+        "wall_s": round(wall, 1),
+        "returncode": proc.returncode,
+        "result": parsed,
+        "stdout": proc.stdout,
+        "stderr": proc.stderr,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default=",".join(DEFAULT_MODES))
+    ap.add_argument("--out", default=os.path.join(REPO, "docs",
+                                                  "BENCHMARKS.json"))
+    ap.add_argument("--also-unfused", action="store_true",
+                    help="additionally run full mode with BENCH_FUSED=0")
+    args = ap.parse_args(argv)
+
+    rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                         capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                           capture_output=True, text=True).stdout.strip()
+    record = {
+        "git_rev": rev,
+        "git_dirty": bool(dirty),
+        "host_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "runs": [],
+    }
+    try:
+        import jax
+        record["jax_version"] = jax.__version__
+        record["devices"] = [str(d) for d in jax.devices()]
+    except Exception as e:  # record the failure, keep benching
+        record["devices_error"] = str(e)
+
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        print(f"== {mode} ==", file=sys.stderr)
+        entry = run_mode(mode)
+        print(entry["stderr"], file=sys.stderr)
+        print(json.dumps(entry["result"]), file=sys.stderr)
+        record["runs"].append(entry)
+    if args.also_unfused:
+        print("== full (BENCH_FUSED=0) ==", file=sys.stderr)
+        entry = run_mode("full", {"BENCH_FUSED": "0"})
+        entry["mode"] = "full_unfused"
+        print(json.dumps(entry["result"]), file=sys.stderr)
+        record["runs"].append(entry)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
