@@ -87,6 +87,24 @@ class TextEncoderConfig:
     dtype: str = _dtype_field()
     fused_attention: bool = False
     fused_attention_interpret: bool = False
+    # lax.scan over the (identical) encoder layers instead of unrolling
+    # them.  Same math; the compiled program contains ONE layer body, which
+    # cuts the full train-step executable 73 -> 26 MB and XLA compile
+    # 65 -> 35 s — executable upload through the TPU tunnel was the dominant
+    # cold first-step cost (BENCH_r02: 29 min, root-caused to upload not
+    # compile).  Measured trade-off (v5e, batch 8): the scanned TRAIN step
+    # pays ~13 ms/step (104.5 -> 115.6 ms) of dynamic-update-slice traffic —
+    # residual stacking + per-layer grad accumulation into the stacked
+    # buffers (profiled in docs/DESIGN.md) — so training keeps the unrolled
+    # layout by default; forward-only programs (inference, beam-decode eval)
+    # have neither cost and default to scan at their call sites, consuming
+    # the same checkpoints via `stack_layer_params`.
+    # Param layout when scanned: layers/layer/... stacked on a leading [L].
+    scan_layers: bool = False
+    # lax.scan unroll factor: >1 repeats the body per iteration.  Measured
+    # strictly worse on the train step (144.5 ms/step at unroll=3 vs 115.6
+    # at 1) — kept for experimentation.
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -170,6 +188,9 @@ class DecoderConfig:
     max_position_embeddings: int = 512
     max_decode_len: int = 20  # --max_len_decoder default (run_pretraining_fcmf.py:61)
     dtype: str = _dtype_field()
+    # emulate the reference Attention's batch-size-dependent head<->weight
+    # pairing (models/attention.py) — parity testing only
+    emulate_reference_heads: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -85,11 +85,33 @@ class RobertaEmbeddings(nn.Module):
         return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
 
 
+class _ScanBertLayer(nn.Module):
+    """BertLayer body with the (carry, y) contract `nn.scan` expects."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden: Array, additive_mask: Array,
+                 deterministic: bool) -> Tuple[Array, None]:
+        hidden = layers.BertLayer(self.config, name="layer")(
+            hidden, additive_mask, deterministic)
+        return hidden, None
+
+
 class TextEncoder(nn.Module):
     """RoBERTa encoder returning (sequence_output, pooled_output).
 
     Same output contract the reference consumes from its FeatureExtractor
     (mm_modeling.py:440-446).
+
+    With `config.scan_layers` the layer stack runs as a `lax.scan` over one
+    compiled layer body with params stacked on a leading [num_layers] axis
+    (path `layers/layer/...`); otherwise layers unroll as `layer_{i}`
+    modules (the default — see config.py for the measured trade-off).
+    Identical math either way — `stack_layer_params`/`unstack_layer_params`
+    convert between the two param layouts (and work under jit, so
+    forward-only programs can consume unrolled checkpoints through the
+    scanned module at the cost of one in-program stack).
     """
 
     config: TextEncoderConfig
@@ -108,10 +130,53 @@ class TextEncoder(nn.Module):
         # HF extended-mask convention: (1 - m) * finfo.min
         ext = attention_mask[:, None, None, :].astype(jnp.float32)
         ext = (1.0 - ext) * jnp.finfo(jnp.float32).min
-        for i in range(cfg.num_hidden_layers):
-            h = layers.BertLayer(block_cfg, name=f"layer_{i}")(h, ext, deterministic)
+        if cfg.scan_layers and cfg.num_hidden_layers > 1:
+            scan = nn.scan(
+                _ScanBertLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_hidden_layers,
+                unroll=cfg.scan_unroll,
+            )
+            h, _ = scan(block_cfg, name="layers")(h, ext, deterministic)
+        else:
+            for i in range(cfg.num_hidden_layers):
+                h = layers.BertLayer(block_cfg, name=f"layer_{i}")(h, ext,
+                                                                   deterministic)
         pooled = layers.TokenPooler(block_cfg, token_index=0, name="pooler")(h)
         return h, pooled
+
+
+def stack_layer_params(params: Dict[str, Any],
+                       num_layers: int) -> Dict[str, Any]:
+    """Convert unrolled `layer_{i}` TextEncoder params to the scanned
+    `layers/layer` layout (leaves stacked on a leading [L] axis)."""
+    if "layers" in params or num_layers <= 1:
+        return params
+    out = {k: v for k, v in params.items()
+           if not k.startswith("layer_")}
+    per_layer = [params[f"layer_{i}"] for i in range(num_layers)]
+    # numpy stacking for host-side use (imports, checkpoint conversion);
+    # jnp under tracing so the conversion can live inside a jitted program
+    on_host = all(not isinstance(x, jax.core.Tracer)
+                  for x in jax.tree_util.tree_leaves(per_layer))
+    stack = ((lambda *xs: np.stack([np.asarray(x) for x in xs]))
+             if on_host else (lambda *xs: jnp.stack(xs)))
+    out["layers"] = {"layer": jax.tree_util.tree_map(stack, *per_layer)}
+    return out
+
+
+def unstack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of `stack_layer_params` (scanned -> unrolled layout)."""
+    if "layers" not in params:
+        return params
+    out = {k: v for k, v in params.items() if k != "layers"}
+    stacked = params["layers"]["layer"]
+    num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(num_layers):
+        out[f"layer_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -124,10 +189,15 @@ def _t(x) -> np.ndarray:
 
 
 def import_hf_text_encoder(state_dict: Dict[str, Any],
-                           num_layers: int) -> Dict[str, Any]:
+                           num_layers: int,
+                           scan_layers: bool = False) -> Dict[str, Any]:
     """Map a HF RoBERTa/XLM-R PyTorch state dict (tensors or numpy arrays,
     keys optionally prefixed with 'roberta.'/'bert.'/'cell.') to TextEncoder
     params.  Kernels are transposed torch [out,in] -> flax [in,out].
+
+    `scan_layers` selects the param layout — unrolled `layer_{i}`
+    (default, matches TextEncoderConfig.scan_layers) or stacked
+    `layers/layer`.
 
     Covers the legacy-name variance the reference handles at load time
     (inference.py:172-193) by stripping any leading model prefix.
@@ -177,10 +247,13 @@ def import_hf_text_encoder(state_dict: Dict[str, Any],
         }
     if "pooler.dense.weight" in sd:
         params["pooler"] = {"dense": dense("pooler.dense")}
+    if scan_layers and num_layers > 1:
+        params = stack_layer_params(params, num_layers)
     return params
 
 
-def load_hf_checkpoint(path: str, dtype: str = "float32"):
+def load_hf_checkpoint(path: str, dtype: str = "float32",
+                       scan_layers: bool = False):
     """Load a local HF checkpoint directory -> (TextEncoderConfig, params).
 
     Uses `transformers` only for config/tokenizer plumbing and `torch` (CPU)
@@ -203,5 +276,8 @@ def load_hf_checkpoint(path: str, dtype: str = "float32"):
         sd = {k: v.numpy() for k, v in torch.load(bin_path, map_location="cpu").items()}
     else:
         raise FileNotFoundError(f"no weight file under {path}")
-    params = import_hf_text_encoder(sd, cfg.num_hidden_layers)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, scan_layers=scan_layers)
+    params = import_hf_text_encoder(sd, cfg.num_hidden_layers,
+                                    scan_layers=scan_layers)
     return cfg, params

@@ -55,17 +55,22 @@ def leaf_spec(path, leaf) -> P:
         return P("mp", None)
     if last == "shared_embedding" or parent == "shared_embedding":
         return P("mp", None)
-    if last == "kernel" and np.ndim(leaf) == 2:
+    # scanned layer stacks (text_encoder scan_layers) carry a leading
+    # [num_layers] axis on every leaf: same rules, shifted right by one.
+    stacked = "layers" in names
+    ndim = np.ndim(leaf) - (1 if stacked else 0)
+    lead = (None,) if stacked else ()
+    if last == "kernel" and ndim == 2:
         if parent in _COLUMN_KERNELS:
-            return P(None, "mp")
+            return P(*lead, None, "mp")
         if parent in _ROW_KERNELS:
-            return P("mp", None)
+            return P(*lead, "mp", None)
         # attention output projection: <block>/attention/output/dense/kernel
         if parent == "dense" and grand == "output":
-            return P("mp", None)
-    if last == "bias" and np.ndim(leaf) == 1:
+            return P(*lead, "mp", None)
+    if last == "bias" and ndim == 1:
         if parent in _COLUMN_KERNELS:
-            return P("mp")
+            return P(*lead, "mp")
     return P()
 
 

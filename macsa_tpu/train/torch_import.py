@@ -109,11 +109,13 @@ def _box_head(sd, prefix, num_heads: int = 8):
 
 
 def import_fcmf_encoder(sd: Dict[str, np.ndarray], num_text_layers: int,
-                        tie_external_embedding: bool = False) -> Dict[str, Any]:
+                        tie_external_embedding: bool = False,
+                        scan_layers: bool = False) -> Dict[str, Any]:
     """encoder.* keys -> FCMFEncoder params subtree."""
     bert_sd = {k[len("encoder.bert.cell."):]: v for k, v in sd.items()
                if k.startswith("encoder.bert.cell.")}
-    bert = import_hf_text_encoder(bert_sd, num_text_layers)
+    bert = import_hf_text_encoder(bert_sd, num_text_layers,
+                                  scan_layers=scan_layers)
     if tie_external_embedding:
         bert["embeddings"] = {k: v for k, v in bert["embeddings"].items()
                               if k != "word_embeddings"}
@@ -133,11 +135,13 @@ def import_fcmf_encoder(sd: Dict[str, np.ndarray], num_text_layers: int,
 
 
 def import_fcmf_classifier(state_dict: Dict[str, Any],
-                           num_text_layers: int = 12) -> Dict[str, Any]:
+                           num_text_layers: int = 12,
+                           scan_layers: bool = False) -> Dict[str, Any]:
     """Full Phase-2 FCMF torch checkpoint -> FCMF (classifier) params."""
     sd = normalize_reference_keys(state_dict)
     return {
-        "encoder": import_fcmf_encoder(sd, num_text_layers),
+        "encoder": import_fcmf_encoder(sd, num_text_layers,
+                                       scan_layers=scan_layers),
         "text_pooler": {"dense": _dense(sd, "text_pooler.dense")},
         "classifier": _dense(sd, "classifier"),
     }
@@ -162,7 +166,8 @@ def _decoder_block(sd, prefix):
 
 
 def import_fcmf_seq2seq(state_dict: Dict[str, Any], num_text_layers: int = 12,
-                        num_blocks: int = 12) -> Dict[str, Any]:
+                        num_blocks: int = 12,
+                        scan_layers: bool = False) -> Dict[str, Any]:
     """Full Phase-1 FCMFSeq2Seq torch checkpoint -> FCMFSeq2Seq params."""
     sd = normalize_reference_keys(state_dict)
     decoder = {f"block_{i}": _decoder_block(sd, f"decoder.blks.block{i}")
@@ -171,7 +176,8 @@ def import_fcmf_seq2seq(state_dict: Dict[str, Any], num_text_layers: int = 12,
     return {
         "shared_embedding": _np(sd["decoder.embedding.weight"]),
         "encoder": import_fcmf_encoder(sd, num_text_layers,
-                                       tie_external_embedding=True),
+                                       tie_external_embedding=True,
+                                       scan_layers=scan_layers),
         "decoder": decoder,
     }
 

@@ -13,6 +13,8 @@ from macsa_tpu.models.text_encoder import (
     TextEncoder,
     create_position_ids,
     import_hf_text_encoder,
+    stack_layer_params,
+    unstack_layer_params,
 )
 
 torch = pytest.importorskip("torch")
@@ -62,6 +64,57 @@ def test_parity_with_hf_roberta(tiny_hf_roberta, rng):
     np.testing.assert_allclose(np.asarray(got_seq), want_seq, rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_pooled), want_pooled,
                                rtol=1e-3, atol=2e-4)
+
+
+def test_scanned_layers_match_unrolled(rng):
+    """scan_layers (lax.scan over one layer body, stacked params) is the
+    same math as the unrolled layer_{i} stack — fwd, pooled, and grads."""
+    import dataclasses
+
+    cfg_u = TextEncoderConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, scan_layers=False)
+    cfg_s = dataclasses.replace(cfg_u, scan_layers=True)
+    ids = jnp.asarray(rng.integers(2, 96, size=(2, 10)))
+    mask = jnp.asarray(np.array([[1] * 10, [1] * 6 + [0] * 4]))
+
+    m_u, m_s = TextEncoder(cfg_u), TextEncoder(cfg_s)
+    p_u = m_u.init(jax.random.PRNGKey(0), ids, attention_mask=mask)["params"]
+    p_s = stack_layer_params(p_u, cfg_u.num_hidden_layers)
+    assert p_s["layers"]["layer"]["mlp"]["output_dense"]["kernel"].shape == \
+        (3, 64, 32)
+
+    seq_u, pool_u = m_u.apply({"params": p_u}, ids, attention_mask=mask)
+    seq_s, pool_s = m_s.apply({"params": p_s}, ids, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(seq_s), np.asarray(seq_u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pool_s), np.asarray(pool_u),
+                               rtol=1e-5, atol=1e-5)
+
+    # roundtrip layout conversion is exact
+    p_rt = unstack_layer_params(p_s)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p_u, p_rt)
+
+    # grads agree (stacked vs per-layer)
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, ids, attention_mask=mask)[0]
+                       ** 2)
+    g_u = stack_layer_params(jax.grad(lambda p: loss(m_u, p))(p_u), 3)
+    g_s = jax.grad(lambda p: loss(m_s, p))(p_s)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+        g_u["layers"], jax.tree_util.tree_map(np.asarray, g_s["layers"]))
+
+    # dropout path traces and runs under scan (split rngs per layer)
+    out, _ = m_s.apply({"params": p_s}, ids, attention_mask=mask,
+                       deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(3)})
+    assert out.shape == seq_s.shape
 
 
 def test_shared_embedding_table_overrides_internal(tiny_hf_roberta, rng):

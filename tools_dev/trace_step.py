@@ -42,10 +42,12 @@ def main():
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
     logdir = os.environ.get("TRACE_DIR", "/tmp/macsa_trace")
 
+    scan = os.environ.get("BENCH_SCAN", "0") != "0"
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
                                        fused_attention=fused),
                      text=TextEncoderConfig(dtype="bfloat16",
-                                            fused_attention=fused))
+                                            fused_attention=fused,
+                                            scan_layers=scan))
     fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
     model = FCMF(cfg)
     visual = VisualFeatures(ResNetConfig(fused_conv=fused_conv))
