@@ -41,6 +41,12 @@ class PerHeadAttention(nn.Module):
     n_head: int = 1
     score_function: str = "scaled_dot_product"
     dtype: jnp.dtype = jnp.float32
+    # Reproduce the reference's batch-size-dependent head<->weight pairing
+    # exactly (head slot c of batch element b uses weight head
+    # (c*B + b) % n_head — mm_modeling.py:79-85,129-130) instead of the
+    # intended batch-invariant mapping.  Parity-testing aid; identical to
+    # the default at B=1 or n_head=1.
+    emulate_reference_heads: bool = False
 
     @nn.compact
     def __call__(
@@ -65,6 +71,16 @@ class PerHeadAttention(nn.Module):
 
         kx = jnp.einsum("ble,hed->bhld", k.astype(self.dtype), w_kx.astype(self.dtype))
         qx = jnp.einsum("ble,hed->bhld", q.astype(self.dtype), w_qx.astype(self.dtype))
+
+        if self.emulate_reference_heads:
+            # remap head slots to the reference's repeat/view pairing:
+            # slot c of batch b reads weight head (c*B + b) % n_head
+            bsz = kx.shape[0]
+            idx = (jnp.arange(nh)[None, :] * bsz
+                   + jnp.arange(bsz)[:, None]) % nh  # [B, nh]
+            idx = idx[:, :, None, None]
+            kx = jnp.take_along_axis(kx, idx, axis=1)
+            qx = jnp.take_along_axis(qx, idx, axis=1)
 
         if self.score_function == "scaled_dot_product":
             score = jnp.einsum("bhqd,bhkd->bhqk", qx, kx) / math.sqrt(d)

@@ -90,11 +90,14 @@ class TransformerDecoderBlock(nn.Module):
 
     def setup(self):
         cfg = self.config
+        emulate = cfg.emulate_reference_heads
         self.attention1 = PerHeadAttention(cfg.hidden_size, cfg.head_dim, cfg.num_heads,
-                                           dtype=cfg.jnp_dtype)
+                                           dtype=cfg.jnp_dtype,
+                                           emulate_reference_heads=emulate)
         self.addnorm1 = AddNorm(cfg.dropout, dtype=cfg.jnp_dtype)
         self.attention2 = PerHeadAttention(cfg.hidden_size, cfg.head_dim, cfg.num_heads,
-                                           dtype=cfg.jnp_dtype)
+                                           dtype=cfg.jnp_dtype,
+                                           emulate_reference_heads=emulate)
         self.addnorm2 = AddNorm(cfg.dropout, dtype=cfg.jnp_dtype)
         self.ffn = PositionWiseFFN(cfg.hidden_size, cfg.ffn_hidden, dtype=cfg.jnp_dtype)
         self.add_norm3 = AddNorm(cfg.dropout, dtype=cfg.jnp_dtype)

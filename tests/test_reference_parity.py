@@ -194,6 +194,79 @@ def test_fcmf_seq2seq_teacher_forcing_vs_reference_torch(stub_backbone, rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=3e-4)
 
 
+def test_per_head_attention_emulated_mapping_vs_reference_torch(rng):
+    """B>1 head-mapping pin: the reference Attention pairs head slot c of
+    batch element b with weight head (c*B + b) % n_head (mm_modeling.py:79-85).
+    `emulate_reference_heads` must reproduce its outputs exactly at B=3 —
+    and the default batch-invariant mapping must NOT (the quirk is real)."""
+    from macsa_tpu.models.attention import PerHeadAttention
+
+    e, d, nh, b, lk, lq = 32, 8, 4, 3, 7, 5
+    torch.manual_seed(5)
+    ref = ref_mm.Attention(e, hidden_dim=d, n_head=nh)
+    ref.eval()
+    k = rng.normal(size=(b, lk, e)).astype(np.float32)
+    q = rng.normal(size=(b, lq, e)).astype(np.float32)
+    mem = [7, 4, 6]
+    with torch.no_grad():
+        want, _ = ref(torch.tensor(k), torch.tensor(q), memory_len=mem)
+    want = want.numpy()
+
+    params = {
+        "w_kx": ref.w_kx.detach().numpy(),
+        "w_qx": ref.w_qx.detach().numpy(),
+        "proj": {"kernel": ref.proj.weight.detach().numpy().T,
+                 "bias": ref.proj.bias.detach().numpy()},
+    }
+    emul = PerHeadAttention(e, d, nh, emulate_reference_heads=True)
+    got = emul.apply({"params": params}, jnp.asarray(k), jnp.asarray(q),
+                     lengths=jnp.asarray(mem))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    std = PerHeadAttention(e, d, nh)
+    got_std = std.apply({"params": params}, jnp.asarray(k), jnp.asarray(q),
+                        lengths=jnp.asarray(mem))
+    assert np.abs(np.asarray(got_std) - want).max() > 1e-3
+
+
+def test_fcmf_seq2seq_teacher_forcing_b2_emulated_heads(stub_backbone, rng):
+    """Full Phase-1 forward at B=2: with `emulate_reference_heads` the
+    decoder reproduces the reference's batch-size-dependent head pairing, so
+    logits agree with torch at batch size >1 — converting the documented B=1
+    deviation (models/attention.py) into a tested equivalence."""
+    from macsa_tpu.config import DecoderConfig
+    from macsa_tpu.models.seq2seq import FCMFSeq2Seq
+    from macsa_tpu.train.torch_import import import_fcmf_seq2seq
+
+    torch.manual_seed(4)
+    ref = ref_pre.FCMFSeq2Seq(VOCAB, 8, "stubbed", num_imgs=I, num_roi=R,
+                              alpha=0.7)
+    ref.eval()
+
+    b = 2
+    ids, tt, attn, added, vis, roi, coors = _inputs(rng, b=b)
+    t_dec = 6
+    dec_ids = rng.integers(2, VOCAB, size=(b, t_dec))
+    with torch.no_grad():
+        want = ref(torch.tensor(ids), torch.tensor(dec_ids), torch.tensor(vis),
+                   torch.tensor(roi), torch.tensor(coors), torch.tensor(tt),
+                   torch.tensor(attn), torch.tensor(added),
+                   is_train=True).numpy()
+
+    params = import_fcmf_seq2seq(ref.state_dict(),
+                                 num_text_layers=TEXT_LAYERS,
+                                 num_blocks=ref_mm.NUM_HIDDEN_LAYERS)
+    dec_cfg = DecoderConfig(vocab_size=VOCAB, max_decode_len=8,
+                            emulate_reference_heads=True)
+    model = FCMFSeq2Seq(_our_cfg(), dec_cfg)
+    got = model.apply({"params": params}, jnp.asarray(ids),
+                      jnp.asarray(dec_ids), jnp.asarray(vis), jnp.asarray(roi),
+                      jnp.asarray(coors), jnp.asarray(tt), jnp.asarray(attn),
+                      jnp.asarray(added))
+    assert got.shape == want.shape == (b, t_dec, VOCAB)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=3e-4)
+
+
 def test_bert_adam_step_vs_reference_torch(rng):
     """3 BertAdam steps on identical params/grads: EMA moments, no bias
     correction, decoupled weight decay, inline warmup_linear schedule
