@@ -163,19 +163,32 @@ def import_torchvision_resnet(state_dict: Dict[str, Any],
 
     Conv kernels: torch [out, in, kh, kw] -> flax [kh, kw, in, out].
     BN: weight->scale, bias->bias, running_mean->mean, running_var->var.
+
+    Strict: every state-dict key must be consumed (the classifier `fc.*`
+    and BN bookkeeping `num_batches_tracked` are the only ignorable ones),
+    so a torchvision key-layout drift raises instead of silently dropping
+    weights — e.g. a renamed `downsample.{0,1}` would otherwise skip the
+    stage-boundary projection entirely.
     """
     sd = {}
     for k, v in state_dict.items():
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
         sd[k] = np.asarray(v)
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
 
     def conv(prefix):
-        return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+        return {"kernel": take(f"{prefix}.weight").transpose(2, 3, 1, 0)}
 
     def bn(prefix):
-        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"],
-                "mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+        return {"scale": take(f"{prefix}.weight"),
+                "bias": take(f"{prefix}.bias"),
+                "mean": take(f"{prefix}.running_mean"),
+                "var": take(f"{prefix}.running_var")}
 
     params: Dict[str, Any] = {"conv1": conv("conv1"), "bn1": bn("bn1")}
     for stage, num_blocks in enumerate(stage_sizes):
@@ -190,4 +203,12 @@ def import_torchvision_resnet(state_dict: Dict[str, Any],
                 entry["ds_conv"] = conv(f"{p}.downsample.0")
                 entry["ds_bn"] = bn(f"{p}.downsample.1")
             params[f"layer{stage + 1}_{block}"] = entry
+    leftover = {k for k in sd if k not in consumed
+                and not k.startswith("fc.")
+                and not k.endswith("num_batches_tracked")}
+    if leftover:
+        raise ValueError(
+            "unconsumed torchvision resnet keys (layout drift?): "
+            + ", ".join(sorted(leftover)[:8])
+            + (" ..." if len(leftover) > 8 else ""))
     return {"backbone": params}
