@@ -15,6 +15,15 @@ BENCH_MODE selects the measured path (baselines from BASELINE.md):
   strictly faster than train).
 * visual / model  — breakdown modes: ResNet extraction alone / fusion
   fwd+bwd+update on cached features.
+* pixels          — the cold-epoch path: real host JPEG decode + fused
+  resize-normalize through the native C++ image pipe
+  (macsa_tpu/native/image_pipe.cpp), float32 host->device transfer
+  (the reference's exact data shape, vimacsa_dataset.py:25-30), then the
+  full train step.  Epoch 0 of a real run looks like this; epochs >=1 hit
+  the HBM feature cache instead (see BENCH_MODE=model).  Host decode runs
+  in a prefetch thread overlapping the device step, like data/loader.py.
+  (uint8 transfer would cut the host link 4x but uint8 elementwise compute
+  is ~120x slower on this TPU stack — see ops/image_prep.py.)
 
 Timing method (axon tunnel quirks, measured 2026-08-16):
 * `block_until_ready` is broken on the axon plugin — it returns before the
@@ -44,7 +53,49 @@ BASELINES = {  # pairs/s, BASELINE.md throughput table
     "model": 7.1,      # breakdown of the full step
     "pretrain": 33.0,  # IAOG pretraining epoch bars (batch 16)
     "inference": 7.1,  # no published number; fine-tune rate = lower bound
+    "pixels": 7.1,     # cold-epoch full step (the reference decodes on the
+                       # host every epoch too — it never caches pixels)
 }
+
+
+def make_jpeg_pool(pool_dir, n=48, hw=(384, 512), seed=0):
+    """Write a pool of random JPEGs once; returns their paths."""
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    os.makedirs(pool_dir, exist_ok=True)
+    paths = []
+    for i in range(n):
+        p = os.path.join(pool_dir, f"im{i:03d}.jpg")
+        if not os.path.exists(p):
+            Image.fromarray(rng.integers(0, 256, size=hw + (3,),
+                                         dtype=np.uint8)).save(p, quality=88)
+        paths.append(p)
+    return paths
+
+
+def host_pixel_batch(paths, b, num_imgs, num_roi, step_idx, decode,
+                     resize_norm):
+    """Decode + resize + normalize one full float32 pixel batch on the host.
+
+    Mirrors the dataset's per-sample work (vimacsa_dataset.py:123-199):
+    one 224x224 resize-normalize per image plus `num_roi` crop+resizes
+    per image."""
+    imgs = np.empty((b, num_imgs, 224, 224, 3), np.float32)
+    rois = np.empty((b, num_imgs, num_roi, 224, 224, 3), np.float32)
+    k = step_idx * b * num_imgs
+    for i in range(b):
+        for j in range(num_imgs):
+            k += 1
+            img = decode(paths[k % len(paths)])
+            imgs[i, j] = resize_norm(img, 224)
+            h, w = img.shape[:2]
+            for r in range(num_roi):
+                y0 = (r * 37) % (h // 2)
+                x0 = (r * 61) % (w // 2)
+                rois[i, j, r] = resize_norm(
+                    np.ascontiguousarray(img[y0:y0 + h // 2,
+                                             x0:x0 + w // 2]), 224)
+    return imgs, rois
 
 
 def make_batch(cfg, b, a=6, seed=0):
@@ -157,10 +208,19 @@ def main():
     # (experimental: loses to XLA until conv2 joins the kernel).
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
     fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
+    # BENCH_SCAN=1 runs the text encoder as a lax.scan over layers: 3x
+    # smaller executable / 2x faster compile, ~13 ms/step slower backward
+    # (config.py scan_layers).  Default: scan for the forward-only
+    # inference mode (penalty ~0 there), unrolled for the train modes.
+    scan = os.environ.get("BENCH_SCAN",
+                          "1" if mode == "inference" else "0") != "0"
+    scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
                                        fused_attention=fused),
                      text=TextEncoderConfig(dtype="bfloat16",
-                                            fused_attention=fused))
+                                            fused_attention=fused,
+                                            scan_layers=scan,
+                                            scan_unroll=scan_unroll))
     rcfg = ResNetConfig(fused_conv=fused_conv)
     visual = VisualFeatures(rcfg)
 
@@ -223,14 +283,24 @@ def main():
         The returned compiled object is used for every subsequent call, so
         jit never re-traces.
         """
+        cache_dir = jax.config.jax_compilation_cache_dir
+
+        def entries():
+            try:
+                return set(os.listdir(cache_dir))
+            except OSError:
+                return set()
+
+        before = entries()
         t0 = time.time()
         lowered = fn.lower(*example)
         t1 = time.time()
         compiled = lowered.compile()
         t2 = time.time()
+        wrote = entries() - before  # a new cache file == genuine compile
         print(f"# trace+lower: {t1 - t0:.1f}s, xla compile: {t2 - t1:.1f}s "
-              f"(persistent cache {'hit' if t2 - t1 < 30 else 'miss'}, "
-              f"dir {jax.config.jax_compilation_cache_dir})", file=sys.stderr)
+              f"(persistent cache {'miss' if wrote else 'hit'}, "
+              f"dir {cache_dir})", file=sys.stderr)
         return compiled
 
     if mode == "inference":
@@ -279,6 +349,57 @@ def main():
         def run_chain(state, n):
             for _ in range(n):
                 state, metrics = step(state, batch, key)
+            return state, metrics
+    elif mode == "pixels":
+        import queue as queue_mod
+        import threading
+
+        from macsa_tpu import native
+        from macsa_tpu.models.resnet import IMAGENET_MEAN, IMAGENET_STD
+
+        native.ensure_built()
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        if native.available():
+            decode_fn = native.decode
+            rn_fn = lambda a, s: native.resize_normalize(a, s, mean, std)
+            pipe = "native C++ (libjpeg)"
+        else:
+            from PIL import Image
+            decode_fn = lambda p: np.asarray(Image.open(p).convert("RGB"))
+
+            def rn_fn(a, s):
+                r = np.asarray(Image.fromarray(a).resize(
+                    (s, s), Image.BILINEAR), np.float32) / 255.0
+                return (r - mean) / std
+            pipe = "PIL fallback"
+        print(f"# pixels: host pipe = {pipe}", file=sys.stderr)
+        paths = make_jpeg_pool(
+            os.environ.get("BENCH_JPEG_DIR", "/tmp/bench_jpeg_pool"))
+        step = aot(step, state, batch, key)
+        n_workers = int(os.environ.get("BENCH_PIXEL_WORKERS", "2"))
+
+        def run_chain(state, n):
+            # prefetch thread pool overlapping host decode with the device
+            # step, mirroring data/loader.py's producer
+            from concurrent.futures import ThreadPoolExecutor
+            q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+            pool = ThreadPoolExecutor(max_workers=n_workers)
+
+            def produce(t):
+                q.put(host_pixel_batch(paths, batch_size, cfg.num_imgs,
+                                       cfg.num_roi, t, decode_fn, rn_fn))
+            futs = [pool.submit(produce, t) for t in range(n)]
+            metrics = None
+            for _ in range(n):
+                imgs, rois = q.get()
+                b2 = dict(batch)
+                b2["images"] = jax.device_put(imgs)
+                b2["roi_images"] = jax.device_put(rois)
+                state, metrics = step(state, b2, key)
+            for f in futs:
+                f.result()
+            pool.shutdown(wait=False)
             return state, metrics
     else:
         step = aot(step, state, batch, key)
