@@ -203,8 +203,10 @@ def import_torchvision_resnet(state_dict: Dict[str, Any],
                 entry["ds_conv"] = conv(f"{p}.downsample.0")
                 entry["ds_bn"] = bn(f"{p}.downsample.1")
             params[f"layer{stage + 1}_{block}"] = entry
+    # classifier heads the feature extractor ignores: torchvision's `fc`,
+    # the reference vision-label models' `linear` (run_image_categories.py)
     leftover = {k for k in sd if k not in consumed
-                and not k.startswith("fc.")
+                and not k.startswith(("fc.", "linear."))
                 and not k.endswith("num_batches_tracked")}
     if leftover:
         raise ValueError(

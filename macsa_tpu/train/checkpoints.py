@@ -58,6 +58,18 @@ class CheckpointManager:
         # every read path below waits, and drivers call finalize() after the
         # training loop so a bare --do_train run can't exit mid-write.
         self._ckptr.wait_until_finished()
+        # One pipelined device->host fetch, timed: through a remote-TPU
+        # tunnel this fetch IS the checkpoint cost (docs/RUNS.md stage 1
+        # measured ~22 min of checkpoint overhead across 3 epochs), and
+        # fetching here keeps orbax's async phase purely disk-bound.
+        import logging
+        import time
+        t0 = time.time()
+        payload = jax.device_get(payload)
+        nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(payload))
+        logging.getLogger("macsa_tpu.checkpoints").info(
+            "checkpoint %s: device fetch %.1fs (%.2f GB)", tag,
+            time.time() - t0, nbytes / 1e9)
         self._ckptr.save(path, payload, force=True)
 
     def finalize(self) -> None:

@@ -91,23 +91,33 @@ def evaluate_generation(model, state, visual, dataset, tokenizer,
     import jax.numpy as jnp
 
     from macsa_tpu.data.loader import DataLoader, pad_batch
-    from macsa_tpu.train.steps import extract_visual
+    from macsa_tpu.train.steps import (extract_visual,
+                                       scanned_forward_variant,
+                                       stack_text_params)
 
     bos_id = tokenizer.bos_token_id or tokenizer.cls_token_id or 0
     eos_id = tokenizer.eos_token_id or tokenizer.sep_token_id or 2
 
+    # decode is forward-only: the scanned text encoder compiles this
+    # (large: encoder + beam while-loop) program ~3x smaller at zero step
+    # cost — the full-scale run's generation-eval compile was its single
+    # biggest overhead (docs/RUNS.md stage 1)
+    dec_model = scanned_forward_variant(model)
+    num_layers = model.config.text.num_hidden_layers
+
     @jax.jit
     def decode_batch(params, visual_params, batch):
+        params = stack_text_params(params, num_layers)
         grid, roi = extract_visual(visual, visual_params, batch["images"],
                                    batch["roi_images"],
                                    out_dtype=model.config.model.jnp_dtype)
         if beam_size <= 1:
-            return model.apply(
+            return dec_model.apply(
                 {"params": params}, batch["enc_input_ids"], grid, roi,
                 batch["roi_coors"], bos_id, eos_id,
                 None, batch["attention_mask"], batch["added_mask"], max_len,
                 method=type(model).greedy_decode)
-        seqs, _ = model.apply(
+        seqs, _ = dec_model.apply(
             {"params": params}, batch["enc_input_ids"], grid, roi,
             batch["roi_coors"], bos_id, eos_id, beam_size,
             None, batch["attention_mask"], batch["added_mask"], max_len,
@@ -152,9 +162,15 @@ def evaluate_generation(model, state, visual, dataset, tokenizer,
 
     # BERTScore with the model's own text backbone (eval-only JAX forward)
     try:
-        from macsa_tpu.models.text_encoder import TextEncoder
-        enc = TextEncoder(model.config.text)
-        bert_params = dict(state.params["encoder"]["bert"])
+        import dataclasses
+
+        from macsa_tpu.models.text_encoder import (TextEncoder,
+                                                   stack_layer_params)
+        enc = TextEncoder(dataclasses.replace(model.config.text,
+                                              scan_layers=True))
+        bert_params = dict(stack_layer_params(
+            state.params["encoder"]["bert"],
+            model.config.text.num_hidden_layers))
         if "embeddings" in bert_params and "word_embeddings" not in \
                 bert_params.get("embeddings", {}):
             import flax

@@ -57,6 +57,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fine_tune_cnn", action="store_true")
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint_every", type=int, default=1,
+                   help="epochs between non-best `last` saves (best "
+                        "improvements always checkpoint).  1 = the "
+                        "reference's per-epoch cadence "
+                        "(run_pretraining_fcmf.py:454-460); larger values "
+                        "cut the multi-GB per-epoch device fetch on "
+                        "remote-TPU links — the final epoch always saves.")
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
                    choices=["causal_quirk", "padding"])
     p.add_argument("--uint8_transfer", action="store_true", default=False)
@@ -368,7 +375,8 @@ def main(argv: Optional[list] = None) -> dict:
                 best_loss = mean_loss
                 ckpt.save("best", state, epoch + 1, -best_loss)
                 ckpt.copy("best", "last")  # identical payload, no re-fetch
-            else:
+            elif ((epoch + 1 - start_epoch) % max(args.checkpoint_every, 1)
+                  == 0 or epoch == int(args.num_train_epochs) - 1):
                 ckpt.save("last", state, epoch + 1, -best_loss)
         ckpt.finalize()
         result["best_train_loss"] = best_loss

@@ -171,13 +171,48 @@ def make_finetune_train_step(model: FCMF, visual: VisualFeatures,
                    donate_argnums=(0,) if donate else ())
 
 
+def scanned_forward_variant(model):
+    """Same model with `text.scan_layers=True` for forward-only programs.
+
+    The scanned text encoder compiles to a ~3x smaller executable at zero
+    forward cost (measured 62.9 vs 64.0 ms/step, batch 8 v5e — the scan
+    penalty is all in the backward's residual/grad stacking, see
+    config.py).  Params keep the training (unrolled) layout on disk and in
+    the TrainState; `stack_text_params` converts in-program."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        model.config,
+        text=dataclasses.replace(model.config.text, scan_layers=True))
+    if isinstance(model, FCMFSeq2Seq):
+        return FCMFSeq2Seq(cfg, model.decoder_config)
+    return type(model)(cfg)
+
+
+def stack_text_params(params, num_layers: int):
+    """Unrolled FCMF/FCMFSeq2Seq params -> text-encoder subtree stacked for
+    the scanned module (jit-safe; no-op if already stacked)."""
+    from macsa_tpu.models.text_encoder import stack_layer_params
+    p = dict(params)
+    p["encoder"] = dict(params["encoder"])
+    p["encoder"]["bert"] = stack_layer_params(p["encoder"]["bert"],
+                                              num_layers)
+    return p
+
+
 def make_finetune_eval_step(model: FCMF, visual: VisualFeatures,
                             mesh: Optional[Mesh] = None,
                             param_sharding=None,
-                            visual_sharding=None) -> Callable:
+                            visual_sharding=None,
+                            scan_text: bool = True) -> Callable:
+    eval_model = scanned_forward_variant(model) if scan_text else model
+    num_layers = model.config.text.num_hidden_layers
+
     def step(params, visual_params, batch: Batch):
-        logits = fcmf_forward_all_aspects(model, params, visual, visual_params,
-                                          batch, deterministic=True)
+        if scan_text:
+            params = stack_text_params(params, num_layers)
+        logits = fcmf_forward_all_aspects(eval_model, params, visual,
+                                          visual_params, batch,
+                                          deterministic=True)
         return logits.argmax(-1), logits  # preds [B, A]
 
     if mesh is None:

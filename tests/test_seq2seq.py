@@ -101,3 +101,59 @@ def test_beam_scores_are_ordered_vs_greedy(setup):
     _, s3 = model.apply(params, enc_ids, vis, roi, coors, BOS, EOS, 3,
                         None, mask, added, method=FCMFSeq2Seq.beam_decode)
     assert np.all(np.asarray(s3) >= np.asarray(s1) - 1e-4)
+
+
+def test_scanned_forward_variant_decodes_identically():
+    """The generation eval runs decode through scanned_forward_variant with
+    stack_text_params applied in-program (train/generation.py); outputs
+    must be identical to the unrolled model's decode."""
+    import dataclasses
+
+    from macsa_tpu.train.steps import (scanned_forward_variant,
+                                       stack_text_params)
+
+    rng = np.random.default_rng(1)
+    text2 = dataclasses.replace(TEXT, num_hidden_layers=2)
+    cfg2 = dataclasses.replace(CFG, text=text2)
+    model = FCMFSeq2Seq(cfg2, DEC)
+    enc_ids = jnp.asarray(rng.integers(3, VOCAB, size=(B, L)).astype(np.int32))
+    vis = jnp.asarray(rng.normal(size=(B, 2, 4, 16)).astype(np.float32))
+    roi = jnp.asarray(rng.normal(size=(B, 2, 2, 16)).astype(np.float32))
+    coors = jnp.asarray(rng.uniform(0, 1, size=(B, 2, 2, 4)).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    added = jnp.ones((B, L + 4), jnp.int32)
+    dec_ids = jnp.asarray(rng.integers(3, VOCAB, size=(B, T)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(1), enc_ids, dec_ids, vis, roi,
+                        coors, None, mask, added)["params"]
+
+    sm = scanned_forward_variant(model)
+    assert sm.config.text.scan_layers
+
+    @jax.jit
+    def scanned_greedy(p):
+        p = stack_text_params(p, 2)
+        return sm.apply({"params": p}, enc_ids, vis, roi, coors, BOS, EOS,
+                        None, mask, added, T,
+                        method=FCMFSeq2Seq.greedy_decode)
+
+    want = model.apply({"params": params}, enc_ids, vis, roi, coors, BOS,
+                       EOS, None, mask, added, T,
+                       method=FCMFSeq2Seq.greedy_decode)
+    np.testing.assert_array_equal(np.asarray(scanned_greedy(params)),
+                                  np.asarray(want))
+
+    @jax.jit
+    def scanned_beam(p):
+        p = stack_text_params(p, 2)
+        seqs, scores = sm.apply({"params": p}, enc_ids, vis, roi, coors,
+                                BOS, EOS, 3, None, mask, added, T,
+                                method=FCMFSeq2Seq.beam_decode)
+        return seqs, scores
+
+    want_seqs, want_scores = model.apply(
+        {"params": params}, enc_ids, vis, roi, coors, BOS, EOS, 3, None,
+        mask, added, T, method=FCMFSeq2Seq.beam_decode)
+    got_seqs, got_scores = scanned_beam(params)
+    np.testing.assert_array_equal(np.asarray(got_seqs), np.asarray(want_seqs))
+    np.testing.assert_allclose(np.asarray(got_scores),
+                               np.asarray(want_scores), rtol=2e-5, atol=2e-5)

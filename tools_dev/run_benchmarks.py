@@ -23,7 +23,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference")
+DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference", "pixels")
 
 
 def run_mode(mode: str, extra_env=None):
