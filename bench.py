@@ -4,7 +4,9 @@
 BENCH_MODE selects the measured path (baselines from BASELINE.md):
 * full (default)  — Phase-2 fine-tune train step: batched ResNet-152 visual
   extraction (7 images + 28 ROI crops/sample) + 6 aspect-view FCMF forwards
-  + backward + AdamW.  Baseline 7.1 pairs/s (Kaggle GPU fp16, batch 2).
+  + backward + AdamW, as two chained programs exactly like the finetune
+  driver (BENCH_SPLIT=0 for the single-program variant).  Baseline 7.1
+  pairs/s (Kaggle GPU fp16, batch 2).
 * pretrain        — Phase-1 IAOG seq2seq train step (FCMFEncoder + 12-block
   decoder teacher forcing), batch 16 like the reference.  Baseline 33
   pairs/s (Pretraining notebook epoch bars, 3.3-3.5 s/it).
@@ -400,6 +402,35 @@ def main():
             for f in futs:
                 f.result()
             pool.shutdown(wait=False)
+            return state, metrics
+    elif mode == "full" and os.environ.get("BENCH_SPLIT", "1") == "1":
+        # Split the step into its two programs (extract | fuse+update),
+        # chained per iteration — the SAME structure the finetune driver
+        # actually runs (its feature-cache extract_jit is a separate
+        # program).  Measured faster than the combined program at every
+        # batch (b8: 99.5 vs 101.5 ms; b16: 197.3 vs 217.1 — in the
+        # combined program XLA's ResNet fusions degrade at b16, emitting
+        # bare mul/add splits that don't exist at b8; traced 2026-08-19).
+        # BENCH_SPLIT=0 measures the one-program variant.
+        vstep = jax.jit(lambda vp, im, ri: extract_visual(visual, vp, im, ri))
+        vstep = aot(vstep, state.visual_params, batch["images"],
+                    batch["roi_images"])
+        fbatch = {k: v for k, v in batch.items()
+                  if k not in ("images", "roi_images")}
+        g0, r0 = jax.eval_shape(
+            lambda vp, im, ri: extract_visual(visual, vp, im, ri),
+            state.visual_params, batch["images"], batch["roi_images"])
+        fbatch["grid"] = jnp.zeros(g0.shape, g0.dtype)
+        fbatch["roi"] = jnp.zeros(r0.shape, r0.dtype)
+        step = aot(step, state, fbatch, key)
+
+        def run_chain(state, n):
+            b2 = dict(fbatch)
+            for _ in range(n):
+                b2["grid"], b2["roi"] = vstep(state.visual_params,
+                                              batch["images"],
+                                              batch["roi_images"])
+                state, metrics = step(state, b2, key)
             return state, metrics
     else:
         step = aot(step, state, batch, key)

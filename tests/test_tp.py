@@ -148,3 +148,44 @@ def test_fused_attention_composes_with_tp(rng, cpu_devices):
     with kernel_mesh(mesh_tp):
         got_tp = _run(mesh_tp, batch, tp=True, cfg=cfg_fused)
     np.testing.assert_allclose(got_tp, ref, rtol=0, atol=5e-4)
+
+
+def test_scanned_eval_step_on_tp_mesh(rng, cpu_devices):
+    """make_finetune_eval_step (forward-only, scanned text encoder with
+    in-program param stacking) must produce the replicated single-device
+    logits on a dp4 x mp2 TP mesh."""
+    if len(cpu_devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from macsa_tpu.models.resnet import VisualFeatures
+    from macsa_tpu.config import ResNetConfig
+    from macsa_tpu.train.steps import make_finetune_eval_step
+
+    batch = _make(rng)
+    model = FCMF(CFG)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(batch["input_ids"][:1, 0]),
+                        jnp.asarray(batch["grid"][:1]),
+                        jnp.asarray(batch["roi"][:1]),
+                        jnp.asarray(batch["roi_coors"][:1]), None,
+                        jnp.asarray(batch["attention_mask"][:1, 0]),
+                        jnp.asarray(batch["added_mask"][:1, 0]))["params"]
+    visual = VisualFeatures(ResNetConfig(stage_sizes=(1,), dtype="float32"))
+
+    # reference: unsharded, unrolled (scan_text=False)
+    ref_step = make_finetune_eval_step(model, visual, scan_text=False)
+    want_preds, want_logits = ref_step(params, {}, batch)
+
+    mesh = make_mesh(dp=4, mp=2, devices=cpu_devices[:8])
+    tx = make_adamw(linear_warmup_schedule(1e-3, 2, 100))
+    state = TrainState.create(params, {}, tx)
+    shardings = state_shardings(state, mesh)
+    state = shard_state(state, mesh)
+    eval_step = make_finetune_eval_step(
+        model, visual, mesh=mesh, param_sharding=shardings.params,
+        visual_sharding=NamedSharding(mesh, P()))
+    got_preds, got_logits = eval_step(state.params, state.visual_params,
+                                      shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(got_preds),
+                                  np.asarray(want_preds))
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits), rtol=2e-5, atol=2e-5)
