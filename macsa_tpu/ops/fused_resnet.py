@@ -24,6 +24,15 @@ The runner consumes the *same* `{"params": {"backbone": ...}}` pytree as
 `VisualFeatures`, so checkpointing and torchvision weight import are
 untouched; `tests/test_fused_conv.py` asserts output parity against the
 Flax module.
+
+STATUS — measured negative result, kept off by default.  On v5e at batch 8
+the fused visual step measures 59.2 ms vs 50.0 ms for the XLA path: the
+residual-fusion HBM traffic it removes (~14.8 ms) is outweighed by losing
+XLA's conv double-buffering across blocks (the kernel serializes each
+bottleneck's three matmuls on one core).  The path stays because it is
+parity-tested infrastructure for re-attempting the tiling (stage-3-only
+fusion is the open idea) and is reachable via `ResNetConfig.fused_conv`
+(`BENCH_FUSED_CONV=1`); it is not on any default path.
 """
 
 from __future__ import annotations
