@@ -33,7 +33,7 @@ def run_mode(mode: str, extra_env=None):
     start = datetime.datetime.now(datetime.timezone.utc)
     t0 = time.time()
     proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                          capture_output=True, text=True, cwd=REPO)
+                          capture_output=True, text=True, cwd=REPO, env=env)
     wall = time.time() - t0
     end = datetime.datetime.now(datetime.timezone.utc)
     parsed = None
