@@ -230,7 +230,8 @@ def main(argv: Optional[list] = None) -> dict:
                 logger.warning("--resnet_weights ignored: checkpoint "
                                "carries its own visual_params")
         else:
-            visual_params = visual.init(key, jnp.zeros((1, 1, 224, 224, 3)))
+            visual_params = common.jit_init(
+                visual, key, jnp.zeros((1, 1, 224, 224, 3)))
             visual_params = common.import_resnet_params(
                 visual_params, args.resnet_weights, logger)
         if cfg.text.scan_layers:

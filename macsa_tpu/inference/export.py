@@ -121,11 +121,19 @@ def export_bundle(checkpoint: str, output_dir: str, batch_size: int = 8,
 
     key = jax.random.PRNGKey(0)
     import jax.numpy as jnp
-    visual_params = visual.init(
-        key, jnp.zeros((1, 1, image_size, image_size, 3)))
-    visual_params = common.import_resnet_params(visual_params, resnet_weights,
-                                                logger)
-    params = _load_fcmf_params(checkpoint, model, cfg, key)
+    params, ckpt_visual = _load_fcmf_params(checkpoint, model, cfg, key)
+    if ckpt_visual is not None:
+        # serve the ResNet params the model was trained against (cli.py
+        # does the same; reference: inference.py:57-139)
+        visual_params = ckpt_visual
+        if resnet_weights and logger:
+            logger.warning("resnet_weights ignored: checkpoint carries its "
+                           "own visual_params")
+    else:
+        visual_params = common.jit_init(
+            visual, key, jnp.zeros((1, 1, image_size, image_size, 3)))
+        visual_params = common.import_resnet_params(
+            visual_params, resnet_weights, logger)
 
     def fwd(params, visual_params, batch):
         return fcmf_forward_all_aspects(model, params, visual, visual_params,

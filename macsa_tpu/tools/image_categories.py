@@ -113,7 +113,8 @@ def main(argv: Optional[list] = None):
         split = int(len(table) * 0.85)
         train, dev = [table[i] for i in order[:split]], [table[i] for i in order[split:]]
 
-        params = model.init(key, jnp.zeros((1, 224, 224, 3)))
+        from macsa_tpu.train.common import jit_init
+        params = jit_init(model, key, jnp.zeros((1, 224, 224, 3)))
         base = import_resnet_params({"params": {}}, args.resnet_weights, logger)
         if base.get("params"):
             import flax

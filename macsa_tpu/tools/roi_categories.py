@@ -115,7 +115,8 @@ def main(argv: Optional[list] = None):
         train, dev, test = image_level_split(rows, args.seed)
         logger.info(f"train/dev/test ROIs: {len(train)}/{len(dev)}/{len(test)}")
 
-        params = model.init(key, jnp.zeros((1, 224, 224, 3)))
+        from macsa_tpu.train.common import jit_init
+        params = jit_init(model, key, jnp.zeros((1, 224, 224, 3)))
         base = import_resnet_params({"params": {}}, args.resnet_weights, logger)
         if base.get("params"):
             import flax

@@ -178,6 +178,36 @@ def build_text_config(pretrained_path: Optional[str],
                                fused_attention_interpret=fa.interpret)
 
 
+def jit_init(module, key, *args):
+    """``module.init(key, *args)`` compiled as ONE program.
+
+    Eager flax init executes the traced forward op-by-op; on a deployment
+    where the TPU sits behind a tunnel every dispatch pays a ~3-4 ms floor,
+    so ResNet-152 + FCMF init cost minutes of pure dispatch (docs/RUNS.md
+    v1 Stage 1: ~8.4 min process+model init).  Under ``jit`` XLA
+    dead-code-eliminates the forward — parameter values depend only on
+    key + shape — leaving essentially just the RNG sampling ops.  Values
+    come from the same PRNG stream as eager init; fusion changes rounding
+    in the initializer math by ~1e-7 relative, immaterial for random init.
+    """
+    import jax
+    return jax.jit(module.init)(key, *args)
+
+
+def output_zeros(fn, *args):
+    """Zeros shaped like ``fn(*args)`` without running ``fn`` (eval_shape).
+
+    Drivers previously ran a full eager ResNet forward on dummy images just
+    to obtain grid/roi feature shapes for ``model.init`` — only the SHAPES
+    matter there (init never reads input values), so abstract evaluation
+    replaces minutes of tunnel-dispatched device work with zero device work.
+    """
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(fn, *args))
+
+
 def import_text_params(params: Dict[str, Any], pretrained_path: str,
                        logger=None) -> Dict[str, Any]:
     """Load HF backbone weights into FCMF params['encoder']['bert'] in place

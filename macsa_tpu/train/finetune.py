@@ -181,12 +181,13 @@ def main(argv: Optional[list] = None) -> dict:
                                 jnp.float32),
         "roi_coors": jnp.zeros((b0, cfg.num_imgs, cfg.num_roi, 4), jnp.float32),
     }
-    visual_params = visual.init(key, dummy["images"][:, :1])
-    grid, roi = extract_visual(visual, visual_params, dummy["images"],
-                               dummy["roi_images"])
-    params = model.init(
-        key, jnp.ones((b0, l0), jnp.int32), grid, roi, dummy["roi_coors"],
-        None, jnp.ones((b0, l0), jnp.int32),
+    visual_params = common.jit_init(visual, key, dummy["images"][:, :1])
+    grid, roi = common.output_zeros(
+        lambda vp: extract_visual(visual, vp, dummy["images"],
+                                  dummy["roi_images"]), visual_params)
+    params = common.jit_init(
+        model, key, jnp.ones((b0, l0), jnp.int32), grid, roi,
+        dummy["roi_coors"], None, jnp.ones((b0, l0), jnp.int32),
         jnp.ones((b0, l0 + cfg.num_patches), jnp.int32))["params"]
     params = common.import_text_params(params, args.pretrained_hf_model, logger)
     visual_params = common.import_resnet_params(visual_params,

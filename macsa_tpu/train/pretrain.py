@@ -192,10 +192,13 @@ def main(argv: Optional[list] = None) -> dict:
     dummy_images = jnp.zeros((b0, cfg.num_imgs, 224, 224, 3), jnp.float32)
     dummy_rois = jnp.zeros((b0, cfg.num_imgs, cfg.num_roi, 224, 224, 3),
                            jnp.float32)
-    visual_params = visual.init(key, dummy_images[:, :1])
-    grid, roi = extract_visual(visual, visual_params, dummy_images, dummy_rois)
-    params = model.init(
-        key, jnp.ones((b0, l0), jnp.int32), jnp.ones((b0, t0_len), jnp.int32),
+    visual_params = common.jit_init(visual, key, dummy_images[:, :1])
+    grid, roi = common.output_zeros(
+        lambda vp: extract_visual(visual, vp, dummy_images, dummy_rois),
+        visual_params)
+    params = common.jit_init(
+        model, key, jnp.ones((b0, l0), jnp.int32),
+        jnp.ones((b0, t0_len), jnp.int32),
         grid, roi, jnp.zeros((b0, cfg.num_imgs, cfg.num_roi, 4), jnp.float32),
         None, jnp.ones((b0, l0), jnp.int32),
         jnp.ones((b0, l0 + cfg.num_patches), jnp.int32))["params"]

@@ -156,23 +156,27 @@ def main(argv: Optional[list] = None) -> dict:
         dummy_img = jnp.zeros((b0, args.num_imgs, 224, 224, 3), jnp.float32)
         dummy_roi = jnp.zeros((b0, args.num_imgs, args.num_rois, 224, 224, 3),
                               jnp.float32)
-        visual_params = visual.init(key, dummy_img[:, :1])
+        visual_params = common.jit_init(visual, key, dummy_img[:, :1])
         visual_params = common.import_resnet_params(visual_params,
                                                     args.resnet_weights, logger)
-        grid, roi = extract_visual(visual, visual_params, dummy_img, dummy_roi)
+        grid, roi = common.output_zeros(
+            lambda vp: extract_visual(visual, vp, dummy_img, dummy_roi),
+            visual_params)
         if args.model == "mroberta":
-            params = model.init(key, jnp.ones((b0, l0), jnp.int32),
-                                jnp.ones((b0, l0), jnp.int32), grid, roi)["params"]
+            params = common.jit_init(
+                model, key, jnp.ones((b0, l0), jnp.int32),
+                jnp.ones((b0, l0), jnp.int32), grid, roi)["params"]
         else:
-            params = model.init(key, jnp.ones((b0, 16), jnp.int32),
-                                jnp.ones((b0, 16), jnp.int32),
-                                jnp.ones((b0, l0), jnp.int32),
-                                jnp.ones((b0, l0), jnp.int32), grid, roi)["params"]
+            params = common.jit_init(
+                model, key, jnp.ones((b0, 16), jnp.int32),
+                jnp.ones((b0, 16), jnp.int32),
+                jnp.ones((b0, l0), jnp.int32),
+                jnp.ones((b0, l0), jnp.int32), grid, roi)["params"]
     else:
         visual_params = {}
         l0 = args.max_cap_length
-        params = model.init(key, jnp.ones((b0, l0), jnp.int32),
-                            jnp.ones((b0, l0), jnp.int32))["params"]
+        params = common.jit_init(model, key, jnp.ones((b0, l0), jnp.int32),
+                                 jnp.ones((b0, l0), jnp.int32))["params"]
 
     # import HF backbone into the 'roberta' subtree
     import flax
