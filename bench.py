@@ -205,11 +205,10 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
     # Pallas fused attention (ops/fused_attention.py) on by default; set
-    # BENCH_FUSED=0 to measure the plain-XLA attention path.  Likewise
-    # BENCH_FUSED_CONV=0 for the unfused XLA ResNet path
-    # (experimental: loses to XLA until conv2 joins the kernel).
+    # BENCH_FUSED=0 to measure the plain-XLA attention path.  (A fused
+    # ResNet kernel was measured slower at every stage subset and retired;
+    # its micro-bench lives in tools_dev/fused_resnet_experiment.py.)
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
-    fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
     # BENCH_SCAN=1 runs the text encoder as a lax.scan over layers: 3x
     # smaller executable / 2x faster compile, ~13 ms/step slower backward
     # (config.py scan_layers).  Default: scan for the forward-only
@@ -223,7 +222,7 @@ def main():
                                             fused_attention=fused,
                                             scan_layers=scan,
                                             scan_unroll=scan_unroll))
-    rcfg = ResNetConfig(fused_conv=fused_conv)
+    rcfg = ResNetConfig()
     visual = VisualFeatures(rcfg)
 
     batch = make_batch(cfg, batch_size)

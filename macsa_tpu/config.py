@@ -209,11 +209,6 @@ class ResNetConfig:
     num_filters: int = 64
     grid_size: int = 7  # att_size for grid features (resnet_utils.py:13)
     dtype: str = _dtype_field("bfloat16")
-    # run the backbone through ops/fused_resnet (Pallas 1x1-conv kernels,
-    # single combined trunk pass); off by default — enabled by drivers on
-    # TPU via train.common.resolve_fused_attention-style resolution
-    fused_conv: bool = False
-    fused_conv_interpret: bool = False
 
 
 def small_test_configs(vocab_size: int = 512):

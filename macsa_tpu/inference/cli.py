@@ -71,10 +71,6 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=("auto", "on", "off"),
                    help="Pallas fused-attention kernel (same escape hatch "
                         "the training drivers expose)")
-    p.add_argument("--fused_conv", type=str, default="off",
-                   choices=("auto", "on", "off"),
-                   help="Pallas fused 1x1-conv ResNet backbone "
-                        "(ops/fused_resnet); experimental, default off")
     p.add_argument("--scan_layers", type=str, default="on",
                    choices=("on", "off"),
                    help="run the text encoder as a lax.scan over layers: "
@@ -169,12 +165,9 @@ def main(argv: Optional[list] = None) -> dict:
         image_size = 224
         tokenizer = common.load_tokenizer(args.pretrained_hf_model)
         model = FCMF(cfg)
-        fconv = common.resolve_fused_attention(args.fused_conv, logger=logger,
-                                               multichip_ok=False)
         visual = VisualFeatures(ResNetConfig(
             dtype="float32", stage_sizes=tuple(
-                int(s) for s in args.resnet_stages.split(",")),
-            fused_conv=fconv.enabled, fused_conv_interpret=fconv.interpret))
+                int(s) for s in args.resnet_stages.split(","))))
 
     # detector
     if args.yolo_weights:

@@ -126,8 +126,8 @@ def default_compute_platform() -> str:
     return jax.default_backend()
 
 
-def resolve_fused_attention(flag: str, mp: int = 1, logger=None,
-                            multichip_ok: bool = True) -> FusedAttention:
+def resolve_fused_attention(flag: str, mp: int = 1, logger=None
+                            ) -> FusedAttention:
     """'on'/'off'/'auto' -> FusedAttention(enabled, interpret).
 
     auto enables the Pallas fused-attention kernel only on TPU platforms
@@ -141,23 +141,12 @@ def resolve_fused_attention(flag: str, mp: int = 1, logger=None,
     `parallel.mesh.set_kernel_mesh` right after `make_mesh`, and the
     attention layer partitions the kernel over it at trace time.  So auto
     no longer drops to the XLA path when >1 device is visible.
-
-    `multichip_ok=False` restores the conservative gate for kernels that
-    have NO shard_map wrapper (ops/fused_resnet): auto forces those off on
-    multi-chip meshes, where the bare pallas_call would be GSPMD-replicated.
     """
     if flag == "off":
         return FusedAttention(False, False)
     on_tpu = default_compute_platform() in ("tpu", "axon")
     if flag == "on":
         return FusedAttention(True, not on_tpu)
-    if on_tpu and not multichip_ok:
-        import jax
-        if jax.device_count() > 1 and jax.default_backend() != "cpu":
-            if logger is not None:
-                logger.info("fused conv: auto -> off (multi-chip mesh and no "
-                            "shard_map wrapper; pass 'on' to override)")
-            return FusedAttention(False, False)
     return FusedAttention(on_tpu, False)
 
 

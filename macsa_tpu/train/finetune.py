@@ -80,11 +80,6 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="Pallas fused softmax+dropout+PV attention for the "
                         "text-encoder blocks; auto = on for TPU backends")
-    p.add_argument("--fused_conv", type=str, default="off",
-                   choices=["auto", "on", "off"],
-                   help="Pallas fused 1x1-conv+BN+residual+ReLU ResNet "
-                        "backbone (ops/fused_resnet); experimental, "
-                        "default off")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3",
@@ -153,11 +148,8 @@ def main(argv: Optional[list] = None) -> dict:
                      alpha=args.alpha, max_text_len=args.max_seq_length,
                      decoder_cross_mask_mode=args.cross_mask_mode,
                      use_mde=args.use_mde)
-    fconv = common.resolve_fused_attention(args.fused_conv, mp=args.mp,
-                                           logger=logger, multichip_ok=False)
     rcfg = ResNetConfig(dtype=dtype, stage_sizes=tuple(
-        int(s) for s in args.resnet_stages.split(",")),
-        fused_conv=fconv.enabled, fused_conv_interpret=fconv.interpret)
+        int(s) for s in args.resnet_stages.split(",")))
 
     tokenizer = common.load_tokenizer(args.pretrained_hf_model)
     roi_boxes, dict_img, dict_roi = common.load_metadata(args.data_dir)

@@ -81,11 +81,6 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="Pallas fused softmax+dropout+PV attention for the "
                         "text-encoder blocks; auto = on for TPU backends")
-    p.add_argument("--fused_conv", type=str, default="off",
-                   choices=["auto", "on", "off"],
-                   help="Pallas fused 1x1-conv+BN+residual+ReLU ResNet "
-                        "backbone (ops/fused_resnet); experimental, "
-                        "default off")
     p.add_argument("--beam_size", type=int, default=3)
     p.add_argument("--debug_decode_every", type=int, default=10,
                    help="decode 2 samples every N steps (reference :340-372)")
@@ -166,11 +161,8 @@ def main(argv: Optional[list] = None) -> dict:
                             num_blocks=cfg.model.num_hidden_layers,
                             num_heads=cfg.model.num_attention_heads,
                             max_decode_len=args.max_len_decoder, dtype=dtype)
-    fconv = common.resolve_fused_attention(args.fused_conv, mp=args.mp,
-                                           logger=logger, multichip_ok=False)
     rcfg = ResNetConfig(dtype=dtype, stage_sizes=tuple(
-        int(s) for s in args.resnet_stages.split(",")),
-        fused_conv=fconv.enabled, fused_conv_interpret=fconv.interpret)
+        int(s) for s in args.resnet_stages.split(",")))
 
     roi_boxes, dict_img, dict_roi = common.load_metadata(data_dir)
 

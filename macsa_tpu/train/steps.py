@@ -46,23 +46,17 @@ def extract_visual(visual: VisualFeatures, visual_params, images: Array,
     uint8 inputs are normalized on device (macsa_tpu.ops.image_prep) — the
     host ships 1 byte/pixel instead of the reference's float32.
 
-    With `visual.config.fused_conv` the backbone runs through
-    ops.fused_resnet instead: one combined trunk pass with Pallas
-    matmul+epilogue kernels for the 1x1 convs (same params, same math)."""
+    The backbone runs on XLA's conv pipeline (~66% MFU at batch 8); a
+    whole-bottleneck Pallas alternative measured slower at every stage
+    subset and is retired to tools_dev/fused_resnet_experiment.py."""
     from macsa_tpu.ops.image_prep import device_normalize
     conv_dtype = jnp.dtype(visual.config.dtype)
     images = device_normalize(images, conv_dtype)
     roi_images = device_normalize(roi_images, conv_dtype)
-    if visual.config.fused_conv:
-        from macsa_tpu.ops.fused_resnet import extract_features
-        grid, roi = extract_features(visual_params, images, roi_images,
-                                     visual.config,
-                                     visual.config.fused_conv_interpret)
-    else:
-        grid = visual.apply(visual_params, images,
-                            method=VisualFeatures.grid_features)
-        roi = visual.apply(visual_params, roi_images,
-                           method=VisualFeatures.pooled_features)
+    grid = visual.apply(visual_params, images,
+                        method=VisualFeatures.grid_features)
+    roi = visual.apply(visual_params, roi_images,
+                       method=VisualFeatures.pooled_features)
     grid, roi = grid.astype(out_dtype), roi.astype(out_dtype)
     if stop_grad:
         grid, roi = jax.lax.stop_gradient(grid), jax.lax.stop_gradient(roi)

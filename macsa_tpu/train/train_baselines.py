@@ -52,10 +52,6 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="JAX PRNG impl; rbg halves dropout-mask cost on TPU")
     p.add_argument("--fused_attention", type=str, default="auto",
                    choices=["auto", "on", "off"])
-    p.add_argument("--fused_conv", type=str, default="off",
-                   choices=["auto", "on", "off"],
-                   help="Pallas fused 1x1-conv ResNet backbone "
-                        "(ops/fused_resnet); experimental, default off")
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
     p.add_argument("--do_test", action="store_true")
@@ -144,11 +140,8 @@ def main(argv: Optional[list] = None) -> dict:
         model = TomBERT(text_cfg)
     else:
         model = EFCapTrRoBERTa(text_cfg)
-    fconv = common.resolve_fused_attention(args.fused_conv, logger=logger,
-                                           multichip_ok=False)
-    visual = VisualFeatures(ResNetConfig(
-        dtype=dtype, fused_conv=fconv.enabled,
-        fused_conv_interpret=fconv.interpret)) if uses_visual else None
+    visual = VisualFeatures(ResNetConfig(dtype=dtype)) \
+        if uses_visual else None
 
     key = jax.random.PRNGKey(args.seed)
     b0, l0 = 1, args.max_seq_length

@@ -1,11 +1,17 @@
-"""Fused 1x1-conv (Pallas matmul+epilogue) kernel and ResNet runner parity.
+"""Fused-ResNet experiment (tools_dev/fused_resnet_experiment.py) parity.
 
-All checks run in interpret mode on the CPU test platform against the
-unfused XLA math (f32, highest precision): the raw kernel vs a numpy-style
-reference, its custom VJP vs autodiff of the reference, and the full fused
-backbone / extract_features vs the Flax `VisualFeatures` module on the
-identical parameter pytree.
+The kernels are retired from the product tree (measured slower than XLA's
+conv pipeline at every stage subset — see the experiment module's STATUS),
+but stay parity-tested so the scaffold remains trustworthy if the tiling
+is ever re-attempted.  All checks run in interpret mode on the CPU test
+platform against the unfused XLA math (f32, highest precision): the raw
+kernel vs a numpy-style reference, its custom VJP vs autodiff of the
+reference, and the full fused backbone / extract_features vs the Flax
+`VisualFeatures` module on the identical parameter pytree.
 """
+
+import importlib.util
+import os
 
 import jax
 import jax.numpy as jnp
@@ -14,8 +20,15 @@ import pytest
 
 from macsa_tpu.config import ResNetConfig
 from macsa_tpu.models.resnet import VisualFeatures
-from macsa_tpu.ops import fused_resnet
-from macsa_tpu.ops.fused_conv import _tile_m, fused_matmul_bn_act
+
+_spec = importlib.util.spec_from_file_location(
+    "fused_resnet_experiment",
+    os.path.join(os.path.dirname(__file__), os.pardir, "tools_dev",
+                 "fused_resnet_experiment.py"))
+fused_resnet = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(fused_resnet)
+_tile_m = fused_resnet._tile_m
+fused_matmul_bn_act = fused_resnet.fused_matmul_bn_act
 
 
 def _ref(x2, w, mul, add, res=None, relu=True):
@@ -109,7 +122,8 @@ def test_backbone_matches_flax(tiny_cfg, tiny_visual, rng):
     visual, variables = tiny_visual
     x = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
     ref = visual.apply(variables, x, method=lambda self, im: self.backbone(im))
-    out = fused_resnet.run_backbone(variables, x, tiny_cfg, interpret=True)
+    out = fused_resnet.run_backbone(variables, x, tiny_cfg, stages=(1, 2),
+                                    interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
@@ -121,7 +135,8 @@ def test_extract_features_matches_flax(tiny_cfg, tiny_visual, rng):
     rois = jnp.asarray(
         rng.normal(size=(b, i, r, 32, 32, 3)).astype(np.float32))
     grid, roi = fused_resnet.extract_features(variables, imgs, rois,
-                                              tiny_cfg, interpret=True)
+                                              tiny_cfg, stages=(1, 2),
+                                              interpret=True)
     ref_grid = visual.apply(variables, imgs,
                             method=VisualFeatures.grid_features)
     ref_roi = visual.apply(variables, rois,
@@ -132,35 +147,14 @@ def test_extract_features_matches_flax(tiny_cfg, tiny_visual, rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_extract_visual_fused_flag_parity(tiny_cfg, tiny_visual, rng):
-    """train.steps.extract_visual with fused_conv on == off (uint8 path)."""
-    import dataclasses
-
-    from macsa_tpu.train.steps import extract_visual
-
-    _, variables = tiny_visual
-    b, i, r = 2, 2, 2
-    imgs = jnp.asarray(rng.integers(0, 255, size=(b, i, 32, 32, 3))
-                       .astype(np.uint8))
-    rois = jnp.asarray(rng.integers(0, 255, size=(b, i, r, 32, 32, 3))
-                       .astype(np.uint8))
-    fused_cfg = dataclasses.replace(tiny_cfg, fused_conv=True,
-                                    fused_conv_interpret=True)
-    g0, r0 = extract_visual(VisualFeatures(tiny_cfg), variables, imgs, rois)
-    g1, r1 = extract_visual(VisualFeatures(fused_cfg), variables, imgs, rois)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
-                               rtol=1e-4, atol=1e-4)
-
-
 def test_backbone_grads_match_flax(tiny_cfg, tiny_visual, rng):
     """fine_tune_cnn path: parameter grads through the fused runner."""
     visual, variables = tiny_visual
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
 
     def loss_fused(v):
-        return (fused_resnet.run_backbone(v, x, tiny_cfg, True) ** 2).sum()
+        return (fused_resnet.run_backbone(v, x, tiny_cfg, (1, 2), True)
+                ** 2).sum()
 
     def loss_ref(v):
         return (visual.apply(v, x,

@@ -1,31 +1,53 @@
-"""Pallas kernel: 1x1 convolution as matmul with a fused BN/residual/ReLU
-epilogue.
+"""RETIRED EXPERIMENT — fused ResNet bottleneck Pallas kernels.
+
+A whole-bottleneck Pallas kernel (conv1/conv2(3x3)/conv3 + BN affines +
+residual + ReLUs with all intermediates in VMEM) plus the 1x1-conv
+matmul+epilogue kernel it grew from, and a backbone runner functionally
+identical to `models.resnet.VisualFeatures` (same parameter pytree, same
+math — reference: fcmf_framework/resnet_utils.py runs torchvision
+resnet152 grid/pooled heads).
 
 Motivation (profiled on v5e, batch 8, 2026-08-18): XLA:TPU cannot fuse
 elementwise epilogues into convolutions, so every ResNet bottleneck
-(reference: fcmf_framework/resnet_utils.py runs torchvision resnet152)
 round-trips its conv3 output through HBM twice — conv writes the
 [224,14,14,1024] activation (90 MB), then a separate `add_maximum` fusion
 re-reads it plus the residual and writes the block output.  At batch 8 the
 stage-3 residual fusions alone are ~14.8 ms of the 112 ms step, pure HBM
-bandwidth.  A 1x1 conv over NHWC is exactly a matmul over the flattened
-spatial rows, so this kernel computes
+bandwidth.  With the whole block in one kernel, HBM traffic per block is
+exactly one read of x and one write of the output.
 
-    y = relu((x @ w) * mul + add [+ residual])
+MEASURED NEGATIVE RESULT (v5e, batch 8, BENCH_MODE=visual 50-step runs) —
+why this lives in tools_dev and not on any product path:
 
-in one pass: the conv output never touches HBM, eliminating a
-write+read of the widest tensor in every bottleneck block.
+    XLA conv pipeline             47.5 ms  (1179 pairs/s)   <- default
+    fused, stages 2+3             56.8 ms  ( 986 pairs/s)
+    fused, stage 3 only           52.9 ms  (1058 pairs/s)   <- 2026-08-19 retry
 
-`mul`/`add` are the frozen-BatchNorm affine factors
+The saved residual-add HBM traffic is real but is re-paid in VPU work
+(9x roll + mask + cast per block for the in-kernel 3x3 conv; Mosaic's
+rotate is 32-bit-only so the conv1 activation must stay f32) and in
+stage-boundary relayouts, and the kernel serializes each block's three
+matmuls where XLA double-buffers convs across blocks.  The stage-3-only
+retry (best MXU:VPU ratio — F=256, K=1024) recovers 3.9 ms of the loss
+but still trails XLA by 5.4 ms.  A hybrid that fuses only the 1x1 convs
+and leaves the 3x3 to XLA is worse still (81 ms): custom-calls force
+default layouts, so every pallas<->conv boundary inserts a full-tensor
+layout copy.  The XLA path is already ~66% MFU; there is no headroom left
+that this schedule can reach.
+
+Kept here, parity-tested (tests/test_fused_conv.py, interpret mode on
+CPU), as the scaffold should the tiling ever be re-attempted (int8
+residual staging is the remaining untried idea — it changes numerics).
+Micro-bench on the real chip:  python tools_dev/fused_resnet_experiment.py
+[--stages 3] [--batch 8] [--steps 50].
+
+Kernel math: `mul`/`add` are the frozen-BatchNorm affine factors
 (models.resnet.FrozenBatchNorm): mul = scale*rsqrt(var+eps),
-add = bias - mean*mul.  They are applied to the f32 accumulator before the
-residual add, matching the unfused path's op order (conv -> BN -> +res ->
-relu) exactly up to bf16 rounding of the intermediate.
-
-The backward (only reached when the CNN is fine-tuned; the hot path wraps
-features in stop_gradient) is plain XLA matmuls — exact, no custom kernel
-needed, because the frozen-CNN training step never differentiates through
-this op.
+add = bias - mean*mul, applied to the f32 accumulator before the residual
+add, matching the unfused path's op order (conv -> BN -> +res -> relu)
+exactly up to bf16 rounding of the intermediate.  Backward paths are
+plain XLA (exact; the frozen-CNN hot path never differentiates through
+these ops).
 """
 
 from __future__ import annotations
@@ -165,13 +187,9 @@ fused_matmul_bn_act.defvjp(_fwd, _bwd)
 # write + residual-add read/read/write, plus boundary copies) to exactly
 # one read of x and one write of the output.
 #
-# Measured outcome (v5e batch 8, 2026-08-19): the batch-8 visual step runs
-# 59.2 ms fused vs 50.0 ms XLA.  The saved residual-add HBM traffic is
-# real, but at F<=256 it is re-paid in VPU work (9x roll + mask + f32->bf16
-# cast per block — Mosaic's rotate is 32-bit-only so a1 must stay f32) and
-# in stage-boundary relayouts (4D W=28/14 tilings repack against the 2D
-# row view).  Kept as an off-by-default option (--fused_conv); the default
-# ResNet path remains XLA's conv pipeline, which is already ~64% MFU.
+# Measured outcome: negative — see the module docstring's table (fused
+# loses to XLA at every stage subset; the saved residual-add HBM traffic
+# is re-paid in VPU work and stage-boundary relayouts).
 #
 # conv2 (3x3, stride 1, pad 1) runs as 9 row-shifted matmuls on the
 # flattened [N*H*W, F] activation: shifting by (dy-1)*W + (dx-1) rows
@@ -338,3 +356,172 @@ def _bneck_bwd(n, h, w, interpret, res, g):
 
 
 fused_bottleneck.defvjp(_bneck_fwd, _bneck_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Backbone runner: VisualFeatures-compatible forward through the kernels.
+# ---------------------------------------------------------------------------
+
+def _affine(bn, eps: float = 1e-5):
+    """FrozenBatchNorm (models/resnet.py) affine factors, f32."""
+    mul = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+    return mul, bn["bias"] - bn["mean"] * mul
+
+
+def _bn_relu(x, bn, relu: bool = True):
+    mul, add = _affine(bn)
+    y = x * mul.astype(x.dtype) + add.astype(x.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def _conv(x, kernel, stride: int):
+    """NHWC conv matching models.resnet._conv (same-ish padding k//2)."""
+    kh = kernel.shape[0]
+    pad = kh // 2
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bottleneck_xla_block(p, x, stride: int, downsample: bool):
+    """Pure-XLA bottleneck (models.resnet.Bottleneck math) for blocks the
+    kernel does not cover (strided block 0, unfused stages)."""
+    residual = x
+    y = _bn_relu(_conv(x, p["conv1"]["kernel"], 1), p["bn1"])
+    y = _bn_relu(_conv(y, p["conv2"]["kernel"], stride), p["bn2"])
+    y = _bn_relu(_conv(y, p["conv3"]["kernel"], 1), p["bn3"], relu=False)
+    if downsample:
+        residual = _bn_relu(_conv(x, p["ds_conv"]["kernel"], stride),
+                            p["ds_bn"], relu=False)
+    return jax.nn.relu(y + residual)
+
+
+def _block_args(p):
+    """Bottleneck param tree -> fused_bottleneck weight/affine args."""
+    w1 = p["conv1"]["kernel"]
+    c, feats = w1.shape[-2], w1.shape[-1]
+    m1, a1 = _affine(p["bn1"])
+    m2, a2 = _affine(p["bn2"])
+    m3, a3 = _affine(p["bn3"])
+    w2 = p["conv2"]["kernel"].reshape(9, feats, feats)
+    w3 = p["conv3"]["kernel"].reshape(feats, c)
+    return (w1.reshape(c, feats), m1, a1, w2, m2, a2, w3, m3, a3)
+
+
+def run_backbone(variables, x, cfg, stages=(3,), interpret: bool = False):
+    """[N, H, W, 3] normalized float -> [N, H/32, W/32, 2048].
+
+    Mirrors models.resnet.ResNet.__call__ (stem -> 4 stages of
+    bottlenecks) over the same `{"params": {"backbone": ...}}` pytree.
+    Identity bottlenecks of the (1-indexed) stages in `stages` run as ONE
+    `fused_bottleneck` pallas program each, activations kept as flattened
+    [N*H*W, C] rows between blocks; everything else runs on XLA.
+    """
+    bp = variables["params"]["backbone"]
+    dt = jnp.dtype(cfg.dtype)
+    x = x.astype(dt)
+    x = _conv(x, bp["conv1"]["kernel"], 2)
+    x = _bn_relu(x, bp["bn1"])
+    from flax import linen as nn
+    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    for stage, num_blocks in enumerate(cfg.stage_sizes):
+        stride = 2 if stage > 0 else 1
+        x = _bottleneck_xla_block(bp[f"layer{stage + 1}_0"], x, stride,
+                                  downsample=True)
+        if num_blocks == 1:
+            continue
+        n, h, w, c = x.shape
+        feats = bp[f"layer{stage + 1}_1"]["conv1"]["kernel"].shape[-1]
+        if ((stage + 1) not in stages
+                or block_images(n, h, w, c, feats) is None):
+            # stage not selected, or no VMEM-feasible whole-image tiling
+            # (e.g. stage 4's 49 rows/image + 8.7 MB resident weights)
+            for block in range(1, num_blocks):
+                x = _bottleneck_xla_block(bp[f"layer{stage + 1}_{block}"],
+                                          x, 1, downsample=False)
+            continue
+        x2 = x.reshape(n * h * w, c)
+        for block in range(1, num_blocks):
+            x2 = fused_bottleneck(
+                x2, *_block_args(bp[f"layer{stage + 1}_{block}"]),
+                n, h, w, interpret)
+        x = x2.reshape(n, h, w, c)
+    return x
+
+
+def extract_features(variables, images, roi_images, cfg, stages=(3,),
+                     interpret: bool = False):
+    """One trunk pass over images+ROI crops -> (grid, pooled) features.
+
+    images [B, I, H, W, 3], roi_images [B, I, R, H, W, 3] ->
+    grid [B, I, att*att, 2048], roi [B, I, R, 2048] — the same outputs as
+    VisualFeatures.grid_features / pooled_features (resnet_utils.py:24,50),
+    computed in a single concatenated conv batch.
+    """
+    b, i = images.shape[:2]
+    r = roi_images.shape[2]
+    hw = images.shape[-3:]
+    flat = jnp.concatenate([images.reshape((-1,) + hw),
+                            roi_images.reshape((-1,) + hw)], axis=0)
+    feat = run_backbone(variables, flat, cfg, stages, interpret)
+    n, h, w, c = feat.shape
+    att = cfg.grid_size
+    gi = feat[:b * i]
+    if (h, w) != (att, att):  # adaptive mean pool (224 -> 7x7 is identity)
+        assert h % att == 0 and w % att == 0, (h, w, att)
+        gi = gi.reshape(b * i, att, h // att, att, w // att, c).mean(axis=(2, 4))
+    grid = gi.reshape(b, i, att * att, c)
+    roi = feat[b * i:].mean(axis=(1, 2)).reshape(b, i, r, c)
+    return grid, roi
+
+
+def _main():
+    """Micro-bench: XLA vs fused visual extraction on the real chip."""
+    import argparse
+    import time
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default="3",
+                    help="comma list of stages to fuse, e.g. '3' or '2,3'")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+    stages = tuple(int(s) for s in args.stages.split(",") if s)
+
+    from macsa_tpu.config import ResNetConfig
+    from macsa_tpu.models.resnet import VisualFeatures
+    from macsa_tpu.train.common import jit_init
+
+    cfg = ResNetConfig()
+    visual = VisualFeatures(cfg)
+    key = jax.random.PRNGKey(0)
+    b, i, r = args.batch, 7, 4
+    imgs = jax.random.normal(key, (b, i, 224, 224, 3), jnp.bfloat16)
+    rois = jax.random.normal(key, (b, i, r, 224, 224, 3), jnp.bfloat16)
+    variables = jit_init(visual, key, imgs[:1, :1])
+
+    def xla_fn(v, im, ro):
+        g = visual.apply(v, im, method=VisualFeatures.grid_features)
+        p = visual.apply(v, ro, method=VisualFeatures.pooled_features)
+        return g.sum() + p.sum()
+
+    def fused_fn(v, im, ro):
+        g, p = extract_features(v, im, ro, cfg, stages)
+        return g.sum() + p.sum()
+
+    for name, fn in [("xla", xla_fn), (f"fused{stages}", fused_fn)]:
+        f = jax.jit(fn)
+        out = f(variables, imgs, rois)
+        float(out)  # compile + first step
+        t0 = time.time()
+        for _ in range(args.steps):
+            out = f(variables, imgs, rois)
+        float(out)
+        dt = (time.time() - t0) / args.steps
+        print(f"{name}: {dt * 1e3:.1f} ms/step "
+              f"({b * i / dt:.0f} image-text pairs/s-equivalent)")
+
+
+if __name__ == "__main__":
+    _main()
