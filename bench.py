@@ -100,6 +100,30 @@ def host_pixel_batch(paths, b, num_imgs, num_roi, step_idx, decode,
     return imgs, rois
 
 
+def host_pixel_batch_u8(paths, b, num_imgs, num_roi, step_idx, decode,
+                        resize_u8):
+    """uint8 variant of `host_pixel_batch` for the packed-word transfer
+    (BENCH_PIXEL_TRANSFER=u8): decode + resize only — normalization moves
+    on-device (ops.image_prep.unpack_normalize_u32), the host link carries
+    1 byte/pixel instead of 4."""
+    imgs = np.empty((b, num_imgs, 224, 224, 3), np.uint8)
+    rois = np.empty((b, num_imgs, num_roi, 224, 224, 3), np.uint8)
+    k = step_idx * b * num_imgs
+    for i in range(b):
+        for j in range(num_imgs):
+            k += 1
+            img = decode(paths[k % len(paths)])
+            imgs[i, j] = resize_u8(img, 224)
+            h, w = img.shape[:2]
+            for r in range(num_roi):
+                y0 = (r * 37) % (h // 2)
+                x0 = (r * 61) % (w // 2)
+                rois[i, j, r] = resize_u8(
+                    np.ascontiguousarray(img[y0:y0 + h // 2,
+                                             x0:x0 + w // 2]), 224)
+    return imgs, rois
+
+
 def make_batch(cfg, b, a=6, seed=0):
     """Synthetic batch generated ON DEVICE (one jitted program, no host
     pixels): a host-built batch is ~170 MB of float32 pixels at batch 8,
@@ -361,9 +385,16 @@ def main():
         native.ensure_built()
         mean = np.asarray(IMAGENET_MEAN, np.float32)
         std = np.asarray(IMAGENET_STD, np.float32)
+        # f32 (default, the reference's exact transfer shape) or u8: packed
+        # uint32 words, 1 byte/pixel over the host link, normalized on
+        # device by int32 unpacking (ops.image_prep.unpack_normalize_u32)
+        transfer = os.environ.get("BENCH_PIXEL_TRANSFER", "f32")
+        if transfer not in ("f32", "u8"):
+            raise SystemExit(f"BENCH_PIXEL_TRANSFER={transfer!r}: f32|u8")
         if native.available():
             decode_fn = native.decode
             rn_fn = lambda a, s: native.resize_normalize(a, s, mean, std)
+            r8_fn = native.resize_u8
             pipe = "native C++ (libjpeg)"
         else:
             from PIL import Image
@@ -373,12 +404,20 @@ def main():
                 r = np.asarray(Image.fromarray(a).resize(
                     (s, s), Image.BILINEAR), np.float32) / 255.0
                 return (r - mean) / std
+
+            def r8_fn(a, s):
+                return np.asarray(Image.fromarray(a).resize(
+                    (s, s), Image.BILINEAR), np.uint8)
             pipe = "PIL fallback"
-        print(f"# pixels: host pipe = {pipe}", file=sys.stderr)
+        print(f"# pixels: host pipe = {pipe}, transfer = {transfer}",
+              file=sys.stderr)
         paths = make_jpeg_pool(
             os.environ.get("BENCH_JPEG_DIR", "/tmp/bench_jpeg_pool"))
         step = aot(step, state, batch, key)
         n_workers = int(os.environ.get("BENCH_PIXEL_WORKERS", "2"))
+        if transfer == "u8":
+            from macsa_tpu.ops.image_prep import (pack_images_u8,
+                                                  unpack_normalize_u32)
 
         def run_chain(state, n):
             # prefetch thread pool overlapping host decode with the device
@@ -388,15 +427,30 @@ def main():
             pool = ThreadPoolExecutor(max_workers=n_workers)
 
             def produce(t):
-                q.put(host_pixel_batch(paths, batch_size, cfg.num_imgs,
-                                       cfg.num_roi, t, decode_fn, rn_fn))
+                if transfer == "u8":
+                    imgs, rois = host_pixel_batch_u8(
+                        paths, batch_size, cfg.num_imgs, cfg.num_roi, t,
+                        decode_fn, r8_fn)
+                    # .view(uint32) is zero-copy: 224*224*3 % 4 == 0
+                    q.put((pack_images_u8(imgs), imgs.shape,
+                           pack_images_u8(rois), rois.shape))
+                else:
+                    q.put(host_pixel_batch(paths, batch_size, cfg.num_imgs,
+                                           cfg.num_roi, t, decode_fn, rn_fn))
             futs = [pool.submit(produce, t) for t in range(n)]
             metrics = None
             for _ in range(n):
-                imgs, rois = q.get()
                 b2 = dict(batch)
-                b2["images"] = jax.device_put(imgs)
-                b2["roi_images"] = jax.device_put(rois)
+                if transfer == "u8":
+                    wi, si, wr, sr = q.get()
+                    b2["images"] = unpack_normalize_u32(
+                        jax.device_put(wi), si, jnp.float32)
+                    b2["roi_images"] = unpack_normalize_u32(
+                        jax.device_put(wr), sr, jnp.float32)
+                else:
+                    imgs, rois = q.get()
+                    b2["images"] = jax.device_put(imgs)
+                    b2["roi_images"] = jax.device_put(rois)
                 state, metrics = step(state, b2, key)
             for f in futs:
                 f.result()

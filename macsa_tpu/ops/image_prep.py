@@ -85,6 +85,44 @@ def normalize_images_u8_reference(images: jax.Array,
     return ((x - mean) / std).astype(out_dtype)
 
 
+def pack_images_u8(images: np.ndarray) -> np.ndarray:
+    """Host side of the packed-uint32 transfer: view a uint8 image batch as
+    little-endian uint32 words (4 bytes/word, zero-copy when already
+    4-aligned and contiguous).
+
+    Ships 1 byte/pixel over the host link — 4x less traffic than the
+    reference's float32 batches (vimacsa_dataset.py:25-30 ship normalized
+    f32) — while the device never executes a single uint8 op: the words
+    are unpacked with int32 shifts in `unpack_normalize_u32` (uint8
+    elementwise compute is ~120x slower on this TPU stack, see
+    `device_normalize`)."""
+    assert images.dtype == np.uint8, images.dtype
+    flat = np.ascontiguousarray(images).reshape(-1)
+    pad = (-flat.size) % 4
+    if pad:
+        flat = np.pad(flat, (0, pad))
+    return flat.view(np.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "out_dtype"))
+def unpack_normalize_u32(words: jax.Array, shape, out_dtype=jnp.bfloat16):
+    """Device side of the packed-uint32 transfer: uint32 words (little-endian
+    packed bytes from `pack_images_u8`) -> normalized image tensor `shape`.
+
+    All device compute is int32/f32: bitcast to int32, extract each byte as
+    (w >> 8j) & 0xFF (the mask makes the arithmetic shift exact), then the
+    same (x/255 - mean)/std as the host transform.  Equivalent to
+    `normalize_images_u8_reference(unpacked_u8)` bit-for-bit."""
+    n = int(np.prod(shape))
+    assert words.size * 4 >= n, (words.size, shape)
+    w = jax.lax.bitcast_convert_type(words, jnp.int32)
+    b = jnp.stack([(w >> (8 * j)) & 0xFF for j in range(4)], axis=-1)
+    x = b.reshape(-1)[:n].reshape(shape).astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return ((x - mean) / std).astype(out_dtype)
+
+
 def device_normalize(images: jax.Array, out_dtype=jnp.bfloat16,
                      use_pallas: bool = False) -> jax.Array:
     """Production entry: uint8 images are normalized on device, float images

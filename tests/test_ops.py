@@ -13,6 +13,8 @@ from macsa_tpu.ops.box_attention_kernel import (
 from macsa_tpu.ops.image_prep import (
     normalize_images_u8,
     normalize_images_u8_reference,
+    pack_images_u8,
+    unpack_normalize_u32,
 )
 
 
@@ -30,6 +32,29 @@ def test_normalize_kernel_odd_sizes(rng):
     imgs = rng.integers(0, 256, size=(1, 5, 7, 3)).astype(np.uint8)
     got = np.asarray(normalize_images_u8(jnp.asarray(imgs), jnp.float32,
                                          interpret=True))
+    want = np.asarray(normalize_images_u8_reference(jnp.asarray(imgs),
+                                                    jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_packed_u32_transfer_matches_reference(rng):
+    # the packed host-link path: pack on host, unpack+normalize on device
+    imgs = rng.integers(0, 256, size=(2, 2, 8, 8, 3)).astype(np.uint8)
+    words = pack_images_u8(imgs)
+    assert words.dtype == np.uint32 and words.size * 4 == imgs.size
+    got = np.asarray(unpack_normalize_u32(jnp.asarray(words), imgs.shape,
+                                          jnp.float32))
+    want = np.asarray(normalize_images_u8_reference(jnp.asarray(imgs),
+                                                    jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_packed_u32_transfer_pad_path(rng):
+    # element count not a multiple of 4: the host pads, the unpack trims
+    imgs = rng.integers(0, 256, size=(3, 5, 3)).astype(np.uint8)
+    words = pack_images_u8(imgs)
+    got = np.asarray(unpack_normalize_u32(jnp.asarray(words), imgs.shape,
+                                          jnp.float32))
     want = np.asarray(normalize_images_u8_reference(jnp.asarray(imgs),
                                                     jnp.float32))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

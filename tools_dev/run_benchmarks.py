@@ -23,7 +23,14 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference", "pixels")
+DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference",
+                 "pixels", "pixels_u8")
+
+# pseudo-modes: recorded name -> (real BENCH_MODE, extra env)
+MODE_VARIANTS = {
+    "pixels_u8": ("pixels", {"BENCH_PIXEL_TRANSFER": "u8"}),
+    "full_unfused": ("full", {"BENCH_FUSED": "0"}),
+}
 
 
 def run_mode(mode: str, extra_env=None):
@@ -86,8 +93,10 @@ def main(argv=None):
 
     for mode in args.modes.split(","):
         mode = mode.strip()
+        real, extra = MODE_VARIANTS.get(mode, (mode, None))
         print(f"== {mode} ==", file=sys.stderr)
-        entry = run_mode(mode)
+        entry = run_mode(real, extra)
+        entry["mode"] = mode
         print(entry["stderr"], file=sys.stderr)
         print(json.dumps(entry["result"]), file=sys.stderr)
         record["runs"].append(entry)
