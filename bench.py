@@ -24,8 +24,10 @@ BENCH_MODE selects the measured path (baselines from BASELINE.md):
   full train step.  Epoch 0 of a real run looks like this; epochs >=1 hit
   the HBM feature cache instead (see BENCH_MODE=model).  Host decode runs
   in a prefetch thread overlapping the device step, like data/loader.py.
-  (uint8 transfer would cut the host link 4x but uint8 elementwise compute
-  is ~120x slower on this TPU stack — see ops/image_prep.py.)
+  BENCH_PIXEL_TRANSFER=u8 measures the drivers' default packed-uint32
+  frame path instead (1 byte/pixel over the host link, normalize fused
+  into the in-program unpack — see ops/image_prep.py; metric suffix
+  `_pixels_u8`).
 
 Timing method (axon tunnel quirks, measured 2026-08-16):
 * `block_until_ready` is broken on the axon plugin — it returns before the
@@ -104,8 +106,8 @@ def host_pixel_batch_u8(paths, b, num_imgs, num_roi, step_idx, decode,
                         resize_u8):
     """uint8 variant of `host_pixel_batch` for the packed-word transfer
     (BENCH_PIXEL_TRANSFER=u8): decode + resize only — normalization moves
-    on-device (ops.image_prep.unpack_normalize_u32), the host link carries
-    1 byte/pixel instead of 4."""
+    on-device (ops.image_prep.pack_pixels_u8 / device_normalize), the host
+    link carries 1 byte/pixel instead of 4."""
     imgs = np.empty((b, num_imgs, 224, 224, 3), np.uint8)
     rois = np.empty((b, num_imgs, num_roi, 224, 224, 3), np.uint8)
     k = step_idx * b * num_imgs
@@ -240,12 +242,16 @@ def main():
     scan = os.environ.get("BENCH_SCAN",
                           "1" if mode == "inference" else "0") != "0"
     scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
+    # BENCH_REMAT=1: checkpoint_dots on the text-encoder blocks (recompute
+    # elementwise in bwd instead of saving activations — config.py)
+    remat = os.environ.get("BENCH_REMAT", "0") != "0"
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
                                        fused_attention=fused),
                      text=TextEncoderConfig(dtype="bfloat16",
                                             fused_attention=fused,
                                             scan_layers=scan,
-                                            scan_unroll=scan_unroll))
+                                            scan_unroll=scan_unroll,
+                                            remat_blocks=remat))
     rcfg = ResNetConfig()
     visual = VisualFeatures(rcfg)
 
@@ -413,11 +419,20 @@ def main():
               file=sys.stderr)
         paths = make_jpeg_pool(
             os.environ.get("BENCH_JPEG_DIR", "/tmp/bench_jpeg_pool"))
+        if transfer == "u8":
+            # the drivers' productized frame-packed path (pixel_transfer=
+            # packed): the step program itself unpacks uint32 frame words
+            # (ops.image_prep.device_normalize dispatch), exactly like
+            # train/finetune.py's default data path
+            from macsa_tpu.ops.image_prep import (pack_pixels_u8,
+                                                  packed_words_per_frame)
+            wpf = packed_words_per_frame(224)
+            batch["images"] = jnp.zeros(
+                (batch_size, cfg.num_imgs, wpf), jnp.uint32)
+            batch["roi_images"] = jnp.zeros(
+                (batch_size, cfg.num_imgs, cfg.num_roi, wpf), jnp.uint32)
         step = aot(step, state, batch, key)
         n_workers = int(os.environ.get("BENCH_PIXEL_WORKERS", "2"))
-        if transfer == "u8":
-            from macsa_tpu.ops.image_prep import (pack_images_u8,
-                                                  unpack_normalize_u32)
 
         def run_chain(state, n):
             # prefetch thread pool overlapping host decode with the device
@@ -432,8 +447,7 @@ def main():
                         paths, batch_size, cfg.num_imgs, cfg.num_roi, t,
                         decode_fn, r8_fn)
                     # .view(uint32) is zero-copy: 224*224*3 % 4 == 0
-                    q.put((pack_images_u8(imgs), imgs.shape,
-                           pack_images_u8(rois), rois.shape))
+                    q.put((pack_pixels_u8(imgs), pack_pixels_u8(rois)))
                 else:
                     q.put(host_pixel_batch(paths, batch_size, cfg.num_imgs,
                                            cfg.num_roi, t, decode_fn, rn_fn))
@@ -441,16 +455,9 @@ def main():
             metrics = None
             for _ in range(n):
                 b2 = dict(batch)
-                if transfer == "u8":
-                    wi, si, wr, sr = q.get()
-                    b2["images"] = unpack_normalize_u32(
-                        jax.device_put(wi), si, jnp.float32)
-                    b2["roi_images"] = unpack_normalize_u32(
-                        jax.device_put(wr), sr, jnp.float32)
-                else:
-                    imgs, rois = q.get()
-                    b2["images"] = jax.device_put(imgs)
-                    b2["roi_images"] = jax.device_put(rois)
+                imgs, rois = q.get()
+                b2["images"] = jax.device_put(imgs)
+                b2["roi_images"] = jax.device_put(rois)
                 state, metrics = step(state, b2, key)
             for f in futs:
                 f.result()
@@ -516,6 +523,8 @@ def main():
         metric = f"fcmf_{mode}_image_text_pairs_per_s"
     else:
         suffix = "" if mode == "full" else f"_{mode}"
+        if mode == "pixels" and os.environ.get("BENCH_PIXEL_TRANSFER") == "u8":
+            suffix = "_pixels_u8"  # distinguishable from the f32 pixels run
         metric = f"fcmf_finetune_image_text_pairs_per_s{suffix}"
     print(json.dumps({
         "metric": metric,

@@ -74,7 +74,7 @@ class IAOGDataset:
     num_patches: int = 49
     max_len_decoder: int = 20
     load_images: bool = True
-    uint8_images: bool = False
+    pixel_mode: str = "f32"  # f32 | packed | u8 (see images.build_visual_tensors)
 
     def __post_init__(self):
         self.samples = []
@@ -121,7 +121,7 @@ class IAOGDataset:
         if self.load_images:
             images, rois, coors = build_visual_tensors(
                 img_names, self.img_folder, self.roi_boxes,
-                self.num_img, self.num_roi, uint8=self.uint8_images)
+                self.num_img, self.num_roi, pixel_mode=self.pixel_mode)
             out["images"] = images
             out["roi_images"] = rois
             out["roi_coors"] = coors

@@ -62,13 +62,17 @@ def resize_u8(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
 
 def resize_normalize(img: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
     """uint8 HWC -> normalized float32 [size, size, 3] (fused native kernel
-    when available)."""
+    when available; the fallback mirrors its math — multiply by the f32
+    reciprocals, image_pipe.cpp:ip_normalize_f32 — so f32 and packed
+    transfers agree to float rounding either way)."""
     from macsa_tpu import native
     out = native.resize_normalize(img, size, IMAGENET_MEAN, IMAGENET_STD)
     if out is not None:
         return out
-    x = resize_u8(img, size).astype(np.float32) / 255.0
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+    inv255 = np.float32(1.0) / np.float32(255.0)
+    inv_std = np.float32(1.0) / IMAGENET_STD
+    x = resize_u8(img, size).astype(np.float32) * inv255
+    return (x - IMAGENET_MEAN) * inv_std
 
 
 def crop_roi(img: np.ndarray, box: Sequence[float]) -> Optional[np.ndarray]:
@@ -97,25 +101,36 @@ def build_visual_tensors(
     num_img: int,
     num_roi: int,
     size: int = IMAGE_SIZE,
-    uint8: bool = False,
+    pixel_mode: str = "f32",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (images [num_img, S, S, 3], roi_images [num_img, num_roi, S, S, 3],
-    roi_coors [num_img, num_roi, 4]), zero-padded.
+    """-> (images, roi_images, roi_coors [num_img, num_roi, 4]), zero-padded.
 
     Mirrors vimacsa_dataset.py:123-199 / iaog_dataset.py:113-153.
-    With `uint8=True`, normalization is deferred to the device
-    (macsa_tpu.ops.image_prep.device_normalize) and raw uint8 pixels are
-    returned — 4x less host memory and host->device traffic."""
-    pix = np.uint8 if uint8 else np.float32
-    prep = resize_u8 if uint8 else resize_normalize
+    `pixel_mode` selects the host->device transfer encoding:
+    * "f32": normalized float32 frames [.., S, S, 3] — the reference's exact
+      transfer shape (vimacsa_dataset.py:25-30, 4 bytes/pixel);
+    * "packed" (drivers' default): uint32 words [.., 1 + S*S*3/4] from
+      ops.image_prep.pack_pixels_u8 — 1 byte/pixel over the host link,
+      normalization fused into the on-device int32 unpack, empty slots
+      carried as validity words so they unpack to the reference's exact
+      zero tensors;
+    * "u8": raw uint8 frames (kept for tests/micro-benchmarks; uint8
+      elementwise device compute is slow — see ops.image_prep)."""
+    assert pixel_mode in ("f32", "packed", "u8"), pixel_mode
+    u8 = pixel_mode in ("packed", "u8")
+    pix = np.uint8 if u8 else np.float32
+    prep = resize_u8 if u8 else resize_normalize
     images = np.zeros((num_img, size, size, 3), pix)
     rois = np.zeros((num_img, num_roi, size, size, 3), pix)
     coors = np.zeros((num_img, num_roi, 4), np.float32)
+    img_valid = np.zeros((num_img,), np.bool_)
+    roi_valid = np.zeros((num_img, num_roi), np.bool_)
 
     for i, name in enumerate(list(img_paths)[:num_img]):
         raw = decode_image(os.path.join(img_folder, name))
         if raw is not None:
             images[i] = prep(raw, size)
+            img_valid[i] = True
         boxes = roi_boxes.get(name, [])[:num_roi]
         if raw is None or not boxes:
             continue
@@ -123,7 +138,12 @@ def build_visual_tensors(
             crop = crop_roi(raw, box)
             if crop is not None:
                 rois[i, r] = prep(crop, size)
+                roi_valid[i, r] = True
             coors[i, r] = normalize_coords(box)
+    if pixel_mode == "packed":
+        from macsa_tpu.ops.image_prep import pack_pixels_u8
+        images = pack_pixels_u8(images, img_valid)
+        rois = pack_pixels_u8(rois, roi_valid)
     return images, rois, coors
 
 

@@ -108,7 +108,7 @@ class MACSADataset:
     max_text_len: int = 170
     num_patches: int = 49
     load_images: bool = True
-    uint8_images: bool = False
+    pixel_mode: str = "f32"  # f32 | packed | u8 (see images.build_visual_tensors)
 
     def __len__(self) -> int:
         return len(self.records)
@@ -129,7 +129,7 @@ class MACSADataset:
         if self.load_images:
             images, rois, coors = build_visual_tensors(
                 img_names, self.img_folder, self.roi_boxes,
-                self.num_img, self.num_roi, uint8=self.uint8_images)
+                self.num_img, self.num_roi, pixel_mode=self.pixel_mode)
             views["images"] = images
             views["roi_images"] = rois
             views["roi_coors"] = coors

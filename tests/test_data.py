@@ -90,6 +90,34 @@ def test_macsa_dataset_end_to_end(tmp_path):
     assert np.all(s["images"] == 0)
 
 
+def test_macsa_dataset_packed_pixels(tmp_path):
+    """pixel_mode='packed' (the drivers' default): uint32 frame words whose
+    device unpack matches the f32 pipeline, empty slots exact zeros."""
+    import jax.numpy as jnp
+    from macsa_tpu.ops.image_prep import (packed_words_per_frame,
+                                          unpack_normalize_pixels)
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)).save(
+        tmp_path / "x.png")
+    tok = FakeTokenizer()
+    records = [{"comment": "khách sạn tuyệt vời", "list_img": ["x.png"],
+                "text_img_label": ["Food#Positive"]}]
+    mk = lambda mode: MACSADataset(records, tok, str(tmp_path), {}, {}, {},
+                                   num_img=2, num_roi=2, max_text_len=16,
+                                   num_patches=4, pixel_mode=mode)
+    packed, f32 = mk("packed")[0], mk("f32")[0]
+    wpf = packed_words_per_frame(224)
+    assert packed["images"].shape == (2, wpf)
+    assert packed["images"].dtype == np.uint32
+    assert packed["roi_images"].shape == (2, 2, wpf)
+    got = np.asarray(unpack_normalize_pixels(
+        jnp.asarray(packed["images"]), 224, jnp.float32))
+    # frame 0 decodes; frame 1 is the empty slot -> exact zeros
+    np.testing.assert_allclose(got[0], f32["images"][0], rtol=1e-6, atol=1e-6)
+    assert (got[1] == 0.0).all() and (f32["images"][1] == 0.0).all()
+
+
 def test_iaog_grouping_and_shift():
     groups = group_iaog_labels(["sạch#Room", "đẹp#Room", "ngon#Food",
                                 "sạch#Room", "bad#NotAnAspect"])

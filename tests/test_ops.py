@@ -11,9 +11,13 @@ from macsa_tpu.ops.box_attention_kernel import (
     fused_box_attention,
 )
 from macsa_tpu.ops.image_prep import (
+    device_normalize,
     normalize_images_u8,
     normalize_images_u8_reference,
     pack_images_u8,
+    pack_pixels_u8,
+    packed_words_per_frame,
+    unpack_normalize_pixels,
     unpack_normalize_u32,
 )
 
@@ -57,6 +61,52 @@ def test_packed_u32_transfer_pad_path(rng):
                                           jnp.float32))
     want = np.asarray(normalize_images_u8_reference(jnp.asarray(imgs),
                                                     jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_frame_packed_transfer_roundtrip(rng):
+    # the drivers' packed path: per-frame validity word + pixel words
+    s = 16
+    imgs = rng.integers(0, 256, size=(2, 3, s, s, 3)).astype(np.uint8)
+    valid = np.array([[True, False, True], [True, True, False]])
+    words = pack_pixels_u8(imgs, valid)
+    assert words.shape == (2, 3, packed_words_per_frame(s))
+    assert words.dtype == np.uint32
+    got = np.asarray(unpack_normalize_pixels(jnp.asarray(words), s,
+                                             jnp.float32))
+    want = np.array(normalize_images_u8_reference(jnp.asarray(imgs),
+                                                  jnp.float32))
+    want[~valid] = 0.0  # invalid frames are EXACT zeros (reference's
+    #                     empty-slot value, vimacsa_dataset.py:130-135)
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-6, atol=1e-6)
+    assert (got[~valid] == 0.0).all()
+
+
+def test_frame_packed_matches_host_f32(rng):
+    # the packed device math mirrors the host f32 pipe's formula
+    # ((x * (1/255) - mean) * inv_std, data/images.py:resize_normalize);
+    # XLA's FMA fusion leaves ~1 ulp of freedom, hence allclose not equal
+    from macsa_tpu.models.resnet import IMAGENET_MEAN, IMAGENET_STD
+    s = 8
+    imgs = rng.integers(0, 256, size=(4, s, s, 3)).astype(np.uint8)
+    inv255 = np.float32(1.0) / np.float32(255.0)
+    inv_std = np.float32(1.0) / np.asarray(IMAGENET_STD, np.float32)
+    host = (imgs.astype(np.float32) * inv255
+            - np.asarray(IMAGENET_MEAN, np.float32)) * inv_std
+    got = np.asarray(unpack_normalize_pixels(
+        jnp.asarray(pack_pixels_u8(imgs)), s, jnp.float32))
+    np.testing.assert_allclose(got, host, rtol=1e-6, atol=1e-6)
+
+
+def test_device_normalize_dispatch(rng):
+    # uint32 packed frames route through the self-describing unpack
+    s = 16
+    imgs = rng.integers(0, 256, size=(2, s, s, 3)).astype(np.uint8)
+    got = np.asarray(device_normalize(jnp.asarray(pack_pixels_u8(imgs)),
+                                      jnp.float32))
+    want = np.asarray(normalize_images_u8_reference(jnp.asarray(imgs),
+                                                    jnp.float32))
+    assert got.shape == imgs.shape
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
