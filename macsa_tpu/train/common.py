@@ -226,3 +226,18 @@ def import_resnet_params(visual_params: Dict[str, Any],
     from macsa_tpu.models.resnet import import_torchvision_resnet
     sd = torch.load(weights_path, map_location="cpu")
     return {"params": import_torchvision_resnet(sd)}
+
+
+def resnet_fingerprint(weights_path: Optional[str], rcfg, seed: int) -> str:
+    """Identity of the visual extractor for the on-disk feature cache
+    (train/disk_feature_cache.py): weights SOURCE (file content hash, or
+    the init seed when training from random init) + the config fields that
+    change the emitted features.  Hashing the source instead of the live
+    params avoids fetching ~240 MB of device arrays per run."""
+    if weights_path and os.path.exists(weights_path):
+        from macsa_tpu.train.disk_feature_cache import file_content_hash
+        src = f"torchvision:{file_content_hash(weights_path)}"
+    else:
+        src = f"randominit:seed{seed}"
+    return (f"{src}|stages{','.join(map(str, rcfg.stage_sizes))}"
+            f"|f{rcfg.num_filters}|g{rcfg.grid_size}|{rcfg.dtype}")

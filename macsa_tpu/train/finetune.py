@@ -71,11 +71,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="enable the Multimodal Denoising Encoder on the "
                         "patch branch when alpha < 1 (the reference's "
                         "alternative encoder, fcmf_pretraining.py:243-290)")
-    p.add_argument("--uint8_transfer", action="store_true", default=False,
-                   help="ship raw uint8 pixels (4x less host->device traffic); "
-                        "NOTE: uint8 elementwise compute is very slow on some "
-                        "TPU stacks — enable only when the host link is the "
-                        "bottleneck")
+    p.add_argument("--pixel_transfer", type=str, default="packed",
+                   choices=["packed", "f32"],
+                   help="host->device pixel encoding. packed (default): "
+                        "uint32 words, 1 byte/pixel, normalize fused into "
+                        "the on-device unpack (cold-epoch 14 -> 46.6 pairs/s "
+                        "measured, docs/BENCHMARKS.json); f32: the "
+                        "reference's host-normalized float32 shape "
+                        "(vimacsa_dataset.py:25-30).  Same math either way "
+                        "(ops/image_prep.py; agree to ~1 ulp f32)")
     p.add_argument("--fused_attention", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas fused softmax+dropout+PV attention for the "
@@ -96,6 +100,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "BN; skips the ResNet stack and the raw-pixel "
                         "host->device transfer). auto = on unless "
                         "--fine_tune_cnn")
+    p.add_argument("--feature_cache_dir", type=str, default=None,
+                   help="cross-stage on-disk feature cache "
+                        "(train/disk_feature_cache.py): content-addressed "
+                        "(image bytes + ROI boxes + ResNet weights), so "
+                        "pretrain/finetune/eval processes sharing the dir "
+                        "reuse each other's frozen-CNN extraction instead "
+                        "of re-decoding (the reference re-decodes every "
+                        "epoch, vimacsa_dataset.py:123-199).  Single-host "
+                        "only; requires the HBM feature cache")
     return p
 
 
@@ -160,7 +173,7 @@ def main(argv: Optional[list] = None) -> dict:
                             dict_img, dict_roi, num_img=args.num_imgs,
                             num_roi=args.num_rois,
                             max_text_len=args.max_seq_length,
-                            uint8_images=args.uint8_transfer)
+                            pixel_mode=args.pixel_transfer)
 
     # --- model & params -------------------------------------------------
     model = FCMF(cfg)
@@ -263,6 +276,49 @@ def main(argv: Optional[list] = None) -> dict:
         caches: dict = {}
         cached_rows: dict = {}  # split -> np.bool_ [n] rows already cached
 
+    # --- cross-stage on-disk feature cache (disk_feature_cache.py) -------
+    # Content-addressed, so a finetune run reuses the pretraining run's
+    # extraction of the same images (and vice versa) instead of re-decoding.
+    disk_cache, split_keys = None, {}
+    if use_feature_cache and args.feature_cache_dir:
+        if n_hosts > 1:
+            logger.warning("--feature_cache_dir is single-host only; "
+                           "disabled under multi-host")
+        else:
+            from macsa_tpu.train.disk_feature_cache import (DiskFeatureCache,
+                                                            prefill_hbm_cache,
+                                                            record_key)
+            disk_cache = DiskFeatureCache(args.feature_cache_dir)
+            cache_fp = common.resnet_fingerprint(args.resnet_weights, rcfg,
+                                                 args.seed)
+
+    def ensure_cache(split: str, dataset) -> None:
+        """Create the split's HBM cache and prefill it from disk BEFORE the
+        loader starts, so epoch-0 batches whose features are already on
+        disk skip host decoding entirely (needs_pixels consults
+        cached_rows, which the prefill marks)."""
+        if not use_feature_cache or split in caches:
+            return
+        n = len(dataset)
+        caches[split] = VisualFeatureCache(
+            n, cfg.num_imgs, cfg.num_roi, cfg.num_patches, mesh=mesh)
+        cached_rows[split] = np.zeros(n, np.bool_)
+        logger.info(f"visual feature cache[{split}]: "
+                    f"{caches[split].nbytes / 2**20:.0f} MiB HBM")
+        if disk_cache is not None:
+            split_keys[split] = [
+                record_key(rec.get("list_img") or [], args.image_dir,
+                           roi_boxes, args.num_imgs, args.num_rois, cache_fp)
+                for rec in dataset.records]
+            loaded = prefill_hbm_cache(disk_cache, split_keys[split],
+                                       caches[split])
+            if loaded.any():
+                cached_rows[split] |= loaded
+                logger.info(
+                    f"feature cache[{split}]: prefilled "
+                    f"{int(loaded.sum())}/{n} rows from disk "
+                    f"({args.feature_cache_dir})")
+
     def global_idx(idx: np.ndarray) -> np.ndarray:
         """This host's batch rows -> the global batch's rows (process order,
         matching `make_array_from_process_local_data`'s row layout).  Cache
@@ -287,13 +343,6 @@ def main(argv: Optional[list] = None) -> dict:
         # absent when the loader sent a light (all-rows-warm) batch
         images = batch.pop("images", None)
         roi_images = batch.pop("roi_images", None)
-        if split not in caches:
-            caches[split] = VisualFeatureCache(
-                n_samples, cfg.num_imgs, cfg.num_roi, cfg.num_patches,
-                mesh=mesh)
-            cached_rows[split] = np.zeros(n_samples, np.bool_)
-            logger.info(f"visual feature cache[{split}]: "
-                        f"{caches[split].nbytes / 2**20:.0f} MiB HBM")
         cache = caches[split]
         valid = idx >= 0  # pad rows carry -1
         if cached_rows[split][idx[valid]].all():
@@ -306,6 +355,10 @@ def main(argv: Optional[list] = None) -> dict:
             grid, roi = extract_jit(state.visual_params, vis["im"], vis["ri"])
             cache.update(idx, grid, roi)
             cached_rows[split][idx[valid]] = True
+            if disk_cache is not None:
+                rows = np.nonzero(valid)[0]
+                keys = [split_keys[split][int(idx[r])] for r in rows]
+                disk_cache.store_async(keys, grid[rows], roi[rows])
         batch["grid"], batch["roi"] = grid, roi
         return batch
 
@@ -333,6 +386,7 @@ def main(argv: Optional[list] = None) -> dict:
         come back via fetch_global, so every host returns the full report."""
         n = len(dataset)
         g = n_hosts * args.eval_batch_size
+        ensure_cache(split, dataset)
         loader = DataLoader(dataset, args.eval_batch_size, num_workers=8,
                             cache=use_feature_cache,
                             needs_pixels=pixels_needed(split),
@@ -353,6 +407,7 @@ def main(argv: Optional[list] = None) -> dict:
     result = {}
     if args.do_train:
         dev_ds = make_dataset("dev") if args.do_eval else None
+        ensure_cache("train", train_ds)
         # per-host contiguous shard of the training data; the per-step global
         # batch (n_hosts * train_batch_size) is assembled by shard_batch
         loader = DataLoader(train_ds, args.train_batch_size, shuffle=True,
@@ -398,7 +453,10 @@ def main(argv: Optional[list] = None) -> dict:
             state = ckpt.restore_params_only("best", state)
             state = place(state)
         test_ds = make_dataset("test")
-        loader = DataLoader(test_ds, args.eval_batch_size, num_workers=8)
+        ensure_cache("test", test_ds)
+        loader = DataLoader(test_ds, args.eval_batch_size, num_workers=8,
+                            cache=use_feature_cache,
+                            needs_pixels=pixels_needed("test"))
         trues, preds, texts = [], [], []
         for batch in loader:
             texts.extend(batch.pop("text"))
@@ -432,6 +490,8 @@ def main(argv: Optional[list] = None) -> dict:
                             f"label={POLARITIES[trues[i, j]]}\n")
         logger.info(f"test macro-F1 {report['average']['f1']:.4f}")
 
+    if disk_cache is not None:
+        disk_cache.flush()  # queued feature writes land before exit
     return result
 
 

@@ -66,7 +66,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "remote-TPU links — the final epoch always saves.")
     p.add_argument("--cross_mask_mode", type=str, default="causal_quirk",
                    choices=["causal_quirk", "padding"])
-    p.add_argument("--uint8_transfer", action="store_true", default=False)
+    p.add_argument("--pixel_transfer", type=str, default="packed",
+                   choices=["packed", "f32"],
+                   help="host->device pixel encoding (see finetune.py): "
+                        "packed uint32 words (default) or the reference's "
+                        "host-normalized float32")
     p.add_argument("--use_mde", action="store_true", default=False)
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3")
     p.add_argument("--mp", type=int, default=1,
@@ -77,6 +81,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the ORIGINAL review index (IAOG samples from the "
                         "same review share images). auto = on unless "
                         "--fine_tune_cnn")
+    p.add_argument("--feature_cache_dir", type=str, default=None,
+                   help="cross-stage on-disk feature cache shared with the "
+                        "finetune driver (train/disk_feature_cache.py; "
+                        "content-addressed by image bytes + ROI boxes + "
+                        "ResNet weights).  Single-host only")
     p.add_argument("--fused_attention", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="Pallas fused softmax+dropout+PV attention for the "
@@ -175,7 +184,7 @@ def main(argv: Optional[list] = None) -> dict:
                            num_roi=args.num_rois,
                            max_text_len=args.max_seq_length,
                            max_len_decoder=args.max_len_decoder,
-                           uint8_images=args.uint8_transfer)
+                           pixel_mode=args.pixel_transfer)
 
     model = FCMFSeq2Seq(cfg, dec_cfg)
     visual = VisualFeatures(rcfg)
@@ -253,7 +262,47 @@ def main(argv: Optional[list] = None) -> dict:
         from macsa_tpu.train.feature_cache import VisualFeatureCache
         extract_jit = jax.jit(lambda vp, im, ri: extract_visual(
             visual, vp, im, ri, out_dtype=cfg.model.jnp_dtype))
-        fc_state = {"cache": None, "seen": None}
+        fc_state = {"cache": None, "seen": None, "keys": None}
+
+    # cross-stage on-disk feature cache (shared with finetune — the same
+    # content-addressed keys, so Phase 2 reuses Phase 1's extraction)
+    disk_cache = None
+    if use_feature_cache and args.feature_cache_dir:
+        if n_hosts > 1:
+            logger.warning("--feature_cache_dir is single-host only; "
+                           "disabled under multi-host")
+        else:
+            from macsa_tpu.train.disk_feature_cache import (DiskFeatureCache,
+                                                            prefill_hbm_cache,
+                                                            record_key)
+            disk_cache = DiskFeatureCache(args.feature_cache_dir)
+            cache_fp = common.resnet_fingerprint(args.resnet_weights, rcfg,
+                                                 args.seed)
+
+    def ensure_cache(records) -> None:
+        """Create the HBM cache (keyed by ORIGINAL review index) and prefill
+        it from disk BEFORE the loader starts, so already-extracted reviews
+        skip host decoding from step 0."""
+        if not use_feature_cache or fc_state["cache"] is not None:
+            return
+        n_records = len(records)
+        fc_state["cache"] = VisualFeatureCache(
+            n_records, cfg.num_imgs, cfg.num_roi, cfg.num_patches, mesh=mesh)
+        fc_state["seen"] = np.zeros(n_records, np.bool_)
+        logger.info(f"visual feature cache: "
+                    f"{fc_state['cache'].nbytes / 2**20:.0f} MiB HBM")
+        if disk_cache is not None:
+            fc_state["keys"] = [
+                record_key(rec.get("list_img") or [], args.image_dir,
+                           roi_boxes, args.num_imgs, args.num_rois, cache_fp)
+                for rec in records]
+            loaded = prefill_hbm_cache(disk_cache, fc_state["keys"],
+                                       fc_state["cache"])
+            if loaded.any():
+                fc_state["seen"] |= loaded
+                logger.info(f"feature cache: prefilled "
+                            f"{int(loaded.sum())}/{n_records} reviews from "
+                            f"disk ({args.feature_cache_dir})")
 
     def featurize(n_records: int, batch: dict) -> dict:
         if not use_feature_cache:
@@ -269,13 +318,6 @@ def main(argv: Optional[list] = None) -> dict:
         # absent when the loader sent a light (all-rows-warm) batch
         images = batch.pop("images", None)
         roi_images = batch.pop("roi_images", None)
-        if fc_state["cache"] is None:
-            fc_state["cache"] = VisualFeatureCache(
-                n_records, cfg.num_imgs, cfg.num_roi, cfg.num_patches,
-                mesh=mesh)
-            fc_state["seen"] = np.zeros(n_records, np.bool_)
-            logger.info(f"visual feature cache: "
-                        f"{fc_state['cache'].nbytes / 2**20:.0f} MiB HBM")
         valid = idx >= 0
         if fc_state["seen"][idx[valid]].all():
             grid, roi = fc_state["cache"].lookup(idx)
@@ -287,6 +329,10 @@ def main(argv: Optional[list] = None) -> dict:
             grid, roi = extract_jit(state.visual_params, vis["im"], vis["ri"])
             fc_state["cache"].update(idx, grid, roi)
             fc_state["seen"][idx[valid]] = True
+            if disk_cache is not None:
+                rows = np.nonzero(valid)[0]
+                keys = [fc_state["keys"][int(idx[r])] for r in rows]
+                disk_cache.store_async(keys, grid[rows], roi[rows])
         batch["grid"], batch["roi"] = grid, roi
         return batch
 
@@ -329,6 +375,7 @@ def main(argv: Optional[list] = None) -> dict:
         # Multi-host keeps the gate off: each host shuffles its own shard,
         # so it cannot evaluate its peers' rows and a divergent
         # light-vs-pixels call would crash featurize.
+        ensure_cache(train_ds.records)
         needs_pixels = None
         if use_feature_cache and n_hosts == 1:
             needs_pixels = lambda i: (  # noqa: E731
@@ -375,6 +422,8 @@ def main(argv: Optional[list] = None) -> dict:
                 ckpt.save("last", state, epoch + 1, -best_loss)
         ckpt.finalize()
         result["best_train_loss"] = best_loss
+        if disk_cache is not None:
+            disk_cache.flush()  # queued feature writes land before exit
 
     if args.do_eval:
         from macsa_tpu.train.generation import evaluate_generation

@@ -63,6 +63,32 @@ def test_finetune_driver_end_to_end(synth):
 
 
 @pytest.mark.slow
+def test_finetune_pixel_transfer_parity(synth):
+    """The packed-uint32 transfer (drivers' default) trains identically to
+    the reference-shaped f32 transfer: same per-step losses to float
+    rounding (ops/image_prep.py: same normalize formula, ~1 ulp FMA slack;
+    empty slots exact zeros via the frame validity word)."""
+    from macsa_tpu.train.finetune import main
+
+    def losses(transfer):
+        out_dir = str(synth / f"out_transfer_{transfer}")
+        main(["--data_dir", str(synth / "data"),
+              "--image_dir", str(synth / "images"),
+              "--output_dir", out_dir,
+              "--pretrained_hf_model", str(synth / "tok"),
+              "--pixel_transfer", transfer,
+              "--num_train_epochs", "2", "--do_train", *COMMON])
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        return [r["loss"] for r in recs if "loss" in r]
+
+    packed, f32 = losses("packed"), losses("f32")
+    assert len(packed) == len(f32) == 2
+    for a, b in zip(packed, f32):
+        assert abs(a - b) < 2e-3, (packed, f32)
+
+
+@pytest.mark.slow
 def test_pretrain_then_transfer(synth):
     from macsa_tpu.train.pretrain import main as pretrain_main
     from macsa_tpu.train.finetune import main as finetune_main
@@ -86,6 +112,55 @@ def test_pretrain_then_transfer(synth):
     with open(os.path.join(out_dir, "train.log")) as f:
         log = f.read()
     assert "Transferring IAOG encoder" in log
+
+
+@pytest.mark.slow
+def test_cross_stage_disk_feature_cache(synth):
+    """Stage 2 (finetune) reuses stage 1's (pretrain) on-disk frozen-CNN
+    features: the finetune run prefill-loads every row from the shared
+    cache dir instead of re-decoding, and its losses match a run without
+    the disk cache exactly (the cached features are bit-identical)."""
+    from macsa_tpu.train.finetune import main as finetune_main
+    from macsa_tpu.train.pretrain import main as pretrain_main
+
+    cache_dir = str(synth / "feat_cache")
+    pretrain_main([
+        "--pretrained_data_dir", str(synth / "data"),
+        "--image_dir", str(synth / "images"),
+        "--output_dir", str(synth / "out_iaog_dc"),
+        "--pretrained_hf_model", str(synth / "tok"),
+        "--feature_cache_dir", cache_dir,
+        "--num_train_epochs", "1", "--debug_decode_every", "0", "--do_train",
+        *COMMON])
+    import os as _os
+    n_entries = len([f for f in _os.listdir(cache_dir)
+                     if f.endswith(".grid.npy")])
+    assert n_entries > 0, "pretrain wrote no disk cache entries"
+
+    def ft_losses(out_name, extra):
+        out_dir = str(synth / out_name)
+        finetune_main([
+            "--data_dir", str(synth / "data"),
+            "--image_dir", str(synth / "images"),
+            "--output_dir", out_dir,
+            "--pretrained_hf_model", str(synth / "tok"),
+            "--num_train_epochs", "1", "--do_train", *extra, *COMMON])
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            losses = [json.loads(l)["loss"] for l in f
+                      if "loss" in json.loads(l)]
+        with open(os.path.join(out_dir, "train.log")) as f:
+            return losses, f.read()
+
+    hot, hot_log = ft_losses("out_ft_dc",
+                             ["--feature_cache_dir", cache_dir])
+    # stage 2 read stage 1's extraction.  Not necessarily 8/8: a review
+    # whose only IAOG sample fell in stage 1's drop_last tail was never
+    # extracted there — the cold path covers it.
+    import re
+    m = re.search(r"prefilled (\d+)/8 rows from disk", hot_log)
+    assert m and int(m.group(1)) >= 6, hot_log[-2000:]
+    cold, _ = ft_losses("out_ft_nodc", [])
+    assert hot == cold, (hot, cold)  # cached features are exact
 
 
 @pytest.mark.slow

@@ -114,15 +114,21 @@ def main() -> None:
 
     data_dir = os.path.join(out, "data")
     os.makedirs(data_dir, exist_ok=True)
+    # *_with_iaog.json holds the SAME reviews as the plain split plus the
+    # iaog_labels field — the real dataset's relationship (the IAOG files
+    # are produced by annotating train/dev.json, create_IAOG_labels.ipynb),
+    # which the cross-stage feature cache relies on (shared images => keys)
     for split, n in [("train", n_train), ("dev", max(4, n_train // 4)),
                      ("test", max(4, n_train // 4))]:
+        records = make_records(n, img_names, rng, True)
+        if split != "test":
+            with open(os.path.join(data_dir, f"{split}_with_iaog.json"),
+                      "w") as f:
+                json.dump(records, f, ensure_ascii=False)
+        for rec in records:
+            rec.pop("iaog_labels", None)
         with open(os.path.join(data_dir, f"{split}.json"), "w") as f:
-            json.dump(make_records(n, img_names, rng, False), f,
-                      ensure_ascii=False)
-    for split, n in [("train", n_train), ("dev", max(4, n_train // 4))]:
-        with open(os.path.join(data_dir, f"{split}_with_iaog.json"), "w") as f:
-            json.dump(make_records(n, img_names, rng, True), f,
-                      ensure_ascii=False)
+            json.dump(records, f, ensure_ascii=False)
 
     # roi_data.csv: file_name (no suffix), x1, x2, y1, y2
     with open(os.path.join(data_dir, "roi_data.csv"), "w") as f:
