@@ -105,6 +105,12 @@ class TextEncoderConfig:
     # strictly worse on the train step (144.5 ms/step at unroll=3 vs 115.6
     # at 1) — kept for experimentation.
     scan_unroll: int = 1
+    # jax.checkpoint each encoder block with checkpoint_dots: saves matmul
+    # outputs, recomputes elementwise (gelu/LN/dropout-apply) in backward —
+    # trades the saved-activation HBM writes the r04 fusion-step trace
+    # attributed (the double [B*A,170,3072] FFN tensors) for VPU recompute.
+    # Measured on the v5e fusion step (docs/DESIGN.md); off by default.
+    remat_blocks: bool = False
 
     @property
     def head_dim(self) -> int:

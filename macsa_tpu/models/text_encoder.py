@@ -141,9 +141,17 @@ class TextEncoder(nn.Module):
             )
             h, _ = scan(block_cfg, name="layers")(h, ext, deterministic)
         else:
+            block_cls = layers.BertLayer
+            if cfg.remat_blocks:
+                import jax
+                # wrapped fn sees (module, hidden, mask, deterministic):
+                # deterministic (a python bool) is static arg 3
+                block_cls = nn.remat(
+                    layers.BertLayer, static_argnums=(3,),
+                    policy=jax.checkpoint_policies.checkpoint_dots)
             for i in range(cfg.num_hidden_layers):
-                h = layers.BertLayer(block_cfg, name=f"layer_{i}")(h, ext,
-                                                                   deterministic)
+                h = block_cls(block_cfg, name=f"layer_{i}")(h, ext,
+                                                            deterministic)
         pooled = layers.TokenPooler(block_cfg, token_index=0, name="pooler")(h)
         return h, pooled
 

@@ -1,15 +1,29 @@
-"""Exact FLOP count + MFU for the fine-tune step via XLA cost analysis.
+"""Exact FLOP count + measured MFU for the training programs.
 
-Compiles the same programs bench.py measures (full step / extract_visual /
-text+fusion grad) and reads XLA's own flop estimate from
-`compiled.cost_analysis()`, then combines with measured step times to report
-achieved TF/s and MFU against the chip's bf16 peak.
+Compiles the same programs bench.py measures and reads XLA's own flop
+estimate from `compiled.cost_analysis()`, then MEASURES each program's step
+time itself (bench.py's chained-steps method: N data-dependent steps, one
+tail fetch — robust to the axon tunnel's broken block_until_ready and
+multi-second RTT swings) and reports achieved TF/s and MFU against the
+chip's bf16 peak.
 
-Usage: BENCH_BATCH=8 python tools_dev/mfu.py
+Programs (mirroring bench.py's modes):
+* visual   — batched ResNet-152 grid+ROI extraction (extract_visual)
+* model    — fusion fwd+bwd+AdamW on cached features (the steady-state
+             frozen-CNN epoch program)
+* full     — visual + model chained per step (the finetune driver's
+             split-program structure)
+* pretrain — seq2seq fwd+bwd+AdamW on cached features (batch 16)
+
+Usage: python tools_dev/mfu.py            (whole suite; ~4 compiles)
+       MFU_MODES=model,pretrain python tools_dev/mfu.py
+Prints human-readable rows + ONE machine-parseable JSON line.
 """
 
+import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -19,12 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PEAK_TFLOPS = float(os.environ.get("PEAK_TFLOPS", "197"))
 
 
-def flops_of(jitted, *args) -> float:
+def compile_and_count(jitted, *args):
+    """-> (compiled, flops from XLA cost analysis)."""
     c = jitted.lower(*args).compile()
     ca = c.cost_analysis()
     if isinstance(ca, list):  # older jax returns one dict per device program
         ca = ca[0]
-    return float(ca.get("flops", 0.0))
+    return c, float(ca.get("flops", 0.0))
 
 
 def main():
@@ -37,14 +52,21 @@ def main():
                       os.environ.get("BENCH_PRNG", "rbg"))
 
     from bench import fast_init, make_batch
-    from macsa_tpu.config import FCMFConfig, ModelConfig, ResNetConfig, TextEncoderConfig
+    from macsa_tpu.config import (DecoderConfig, FCMFConfig, ModelConfig,
+                                  ResNetConfig, TextEncoderConfig)
     from macsa_tpu.models.fcmf import FCMF
     from macsa_tpu.models.resnet import VisualFeatures
+    from macsa_tpu.models.seq2seq import FCMFSeq2Seq
     from macsa_tpu.train.optim import linear_warmup_schedule, make_adamw
     from macsa_tpu.train.state import TrainState
-    from macsa_tpu.train.steps import extract_visual, make_finetune_train_step
+    from macsa_tpu.train.steps import (extract_visual,
+                                       make_finetune_train_step,
+                                       make_pretrain_train_step)
 
     b = int(os.environ.get("BENCH_BATCH", "8"))
+    b_pre = int(os.environ.get("BENCH_BATCH_PRETRAIN", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    modes = os.environ.get("MFU_MODES", "visual,model,full,pretrain").split(",")
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
                                        fused_attention=fused),
@@ -69,27 +91,123 @@ def main():
                     head_learning_rate=linear_warmup_schedule(7e-4, 100, 10000))
     state = TrainState.create(params, visual_params, tx)
 
-    ev = jax.jit(lambda vp, im, ri: extract_visual(visual, vp, im, ri))
-    f_vis = flops_of(ev, state.visual_params, batch["images"],
-                     batch["roi_images"])
+    # --- programs -------------------------------------------------------
+    ev, f_vis = compile_and_count(
+        jax.jit(lambda vp, im, ri: extract_visual(visual, vp, im, ri)),
+        state.visual_params, batch["images"], batch["roi_images"])
 
-    step = make_finetune_train_step(model, visual, donate=False)
-    f_step = flops_of(step, state, batch, key)
+    gz = jnp.zeros(
+        (b,) + grid.shape[1:], grid.dtype), jnp.zeros(
+        (b,) + roi.shape[1:], roi.dtype)
+    fbatch = {k: v for k, v in batch.items()
+              if k not in ("images", "roi_images")}
+    fbatch["grid"], fbatch["roi"] = gz
+    # donate=False: the original `state` seeds several measurement chains —
+    # a donated first call would free its buffers under the later chains
+    fstep, f_model = compile_and_count(
+        make_finetune_train_step(model, visual, donate=False),
+        state, fbatch, key)
 
-    print(f"batch {b}:")
-    print(f"  extract_visual   : {f_vis / 1e12:7.2f} TFLOP")
-    print(f"  full train step  : {f_step / 1e12:7.2f} TFLOP "
-          f"(fusion+text fwd/bwd+opt = {(f_step - f_vis) / 1e12:.2f})")
-    ms = os.environ.get("STEP_MS")
-    rows = [("full step", f_step, ms),
-            ("extract_visual", f_vis, os.environ.get("VIS_MS")),
-            ("model (step-vis)", f_step - f_vis, os.environ.get("MODEL_MS"))]
-    for name, f, t in rows:
-        if t:
-            tf_s = f / (float(t) / 1e3) / 1e12
-            print(f"  {name:17s}: {float(t):6.1f} ms -> {tf_s:6.1f} TF/s "
-                  f"= {tf_s / PEAK_TFLOPS * 100:4.1f}% of {PEAK_TFLOPS:.0f} "
-                  f"TF/s peak")
+    def timed(run, n):
+        """run(n) must chain n steps and return a scalar-fetchable value."""
+        run(1)       # upload + first step
+        run(2)       # steady-state buffers
+        t0 = time.time()
+        run(steps)
+        return (time.time() - t0) / steps * 1e3  # ms/step
+
+    results = {}
+
+    if "visual" in modes or "full" in modes:
+        def run_vis(n):
+            images = batch["images"]
+            for _ in range(n):
+                g, r = ev(state.visual_params, images, batch["roi_images"])
+                images = images + g[0, 0, 0, 0] * 0
+            float(g[0, 0, 0, 0])
+        ms_vis = timed(run_vis, steps)
+        if "visual" in modes:
+            results["visual"] = (f_vis, ms_vis, b)
+
+    if "model" in modes or "full" in modes:
+        def run_model(n, st=[state]):
+            for _ in range(n):
+                st[0], m = fstep(st[0], fbatch, key)
+            float(m["loss"])
+        ms_model = timed(run_model, steps)
+        if "model" in modes:
+            results["model"] = (f_model, ms_model, b)
+
+    if "full" in modes:
+        # the driver's split-program chain: extract | fuse+update
+        def run_full(n, st=[state]):
+            b2 = dict(fbatch)
+            for _ in range(n):
+                b2["grid"], b2["roi"] = ev(st[0].visual_params,
+                                           batch["images"],
+                                           batch["roi_images"])
+                st[0], m = fstep(st[0], b2, key)
+            float(m["loss"])
+        ms_full = timed(run_full, steps)
+        results["full"] = (f_vis + f_model, ms_full, b)
+
+    if "pretrain" in modes:
+        dec_cfg = DecoderConfig(vocab_size=cfg.text.vocab_size,
+                                dtype="bfloat16")
+        s2s = FCMFSeq2Seq(cfg, dec_cfg)
+        t_dec = dec_cfg.max_decode_len
+        pb = make_batch(cfg, b_pre)
+        pb["enc_input_ids"] = pb.pop("input_ids")[:, 0]
+        for k in ("token_type_ids", "attention_mask", "added_mask"):
+            pb[k] = pb[k][:, 0]
+        pb["dec_input_ids"] = jax.jit(
+            lambda k: jax.random.randint(k, (b_pre, t_dec), 2,
+                                         cfg.text.vocab_size, jnp.int32))(
+            jax.random.PRNGKey(7))
+        pb["labels"] = jnp.roll(pb["dec_input_ids"], -1,
+                                axis=1).at[:, -1].set(-100)
+        pgrid, proi = jax.eval_shape(
+            lambda vp, im, ri: extract_visual(visual, vp, im, ri),
+            visual_params, pb["images"], pb["roi_images"])
+        pparams = fast_init(
+            lambda k, *a: s2s.init(k, *a)["params"],
+            pb["enc_input_ids"][:1], pb["dec_input_ids"][:1],
+            jnp.zeros((1,) + pgrid.shape[1:], pgrid.dtype),
+            jnp.zeros((1,) + proi.shape[1:], proi.dtype),
+            pb["roi_coors"][:1], None, pb["attention_mask"][:1],
+            pb["added_mask"][:1])
+        pstate = TrainState.create(pparams, visual_params, tx)
+        # cached-features variant: the seq2seq program alone (its visual
+        # extraction is the SAME ev program measured above)
+        pbatch = {k: v for k, v in pb.items()
+                  if k not in ("images", "roi_images")}
+        pbatch["grid"] = jnp.zeros(pgrid.shape, pgrid.dtype)
+        pbatch["roi"] = jnp.zeros(proi.shape, proi.dtype)
+        pstep, f_pre = compile_and_count(
+            make_pretrain_train_step(s2s, visual, donate=False),
+            pstate, pbatch, key)
+
+        def run_pre(n, st=[pstate]):
+            for _ in range(n):
+                st[0], m = pstep(st[0], pbatch, key)
+            float(m["loss"])
+        ms_pre = timed(run_pre, steps)
+        results["pretrain"] = (f_pre, ms_pre, b_pre)
+
+    out = {"peak_tflops": PEAK_TFLOPS, "batch": b,
+           "batch_pretrain": b_pre, "steps": steps, "modes": {}}
+    print(f"batch {b} (pretrain {b_pre}), {steps} timed steps, "
+          f"peak {PEAK_TFLOPS:.0f} bf16 TF/s:")
+    for name, (f, ms, bs) in results.items():
+        tfs = f / (ms / 1e3) / 1e12
+        mfu = tfs / PEAK_TFLOPS * 100
+        print(f"  {name:9s}: {f / 1e12:7.2f} TFLOP  {ms:7.1f} ms/step -> "
+              f"{tfs:6.1f} TF/s = {mfu:4.1f}% MFU")
+        out["modes"][name] = {"tflop": round(f / 1e12, 3),
+                              "ms_per_step": round(ms, 2),
+                              "tf_per_s": round(tfs, 2),
+                              "mfu_pct": round(mfu, 2)}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -24,12 +24,16 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference",
-                 "pixels", "pixels_u8")
+                 "pixels", "pixels_u8", "full_b16", "model_b16", "mfu")
 
 # pseudo-modes: recorded name -> (real BENCH_MODE, extra env)
 MODE_VARIANTS = {
     "pixels_u8": ("pixels", {"BENCH_PIXEL_TRANSFER": "u8"}),
     "full_unfused": ("full", {"BENCH_FUSED": "0"}),
+    # batch sweep (VERDICT r3 item 8): per-step costs (AdamW update) amortize
+    # at b16; b32 regresses (ResNet extraction fusions degrade — DESIGN.md)
+    "full_b16": ("full", {"BENCH_BATCH": "16"}),
+    "model_b16": ("model", {"BENCH_BATCH": "16"}),
 }
 
 
@@ -37,9 +41,13 @@ def run_mode(mode: str, extra_env=None):
     env = dict(os.environ)
     env["BENCH_MODE"] = mode
     env.update(extra_env or {})
+    # "mfu" runs tools_dev/mfu.py (self-measuring FLOP/MFU suite) instead
+    # of a bench.py throughput mode — VERDICT r3 item 2: the README's MFU
+    # percentages must trace to a committed raw record.
+    script = "tools_dev/mfu.py" if mode == "mfu" else "bench.py"
     start = datetime.datetime.now(datetime.timezone.utc)
     t0 = time.time()
-    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+    proc = subprocess.run([sys.executable, os.path.join(REPO, script)],
                           capture_output=True, text=True, cwd=REPO, env=env)
     wall = time.time() - t0
     end = datetime.datetime.now(datetime.timezone.utc)
@@ -91,19 +99,17 @@ def main(argv=None):
     except Exception as e:  # record the failure, keep benching
         record["devices_error"] = str(e)
 
-    for mode in args.modes.split(","):
-        mode = mode.strip()
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    if args.also_unfused and "full_unfused" not in modes:
+        # legacy spelling of the full_unfused pseudo-mode; no-op when the
+        # pseudo-mode is already requested (would double-record otherwise)
+        modes.append("full_unfused")
+    for mode in modes:
         real, extra = MODE_VARIANTS.get(mode, (mode, None))
         print(f"== {mode} ==", file=sys.stderr)
         entry = run_mode(real, extra)
         entry["mode"] = mode
         print(entry["stderr"], file=sys.stderr)
-        print(json.dumps(entry["result"]), file=sys.stderr)
-        record["runs"].append(entry)
-    if args.also_unfused:
-        print("== full (BENCH_FUSED=0) ==", file=sys.stderr)
-        entry = run_mode("full", {"BENCH_FUSED": "0"})
-        entry["mode"] = "full_unfused"
         print(json.dumps(entry["result"]), file=sys.stderr)
         record["runs"].append(entry)
 

@@ -6,7 +6,12 @@ tells us which ops own the gap between achieved and peak TF/s.
 
 Usage: BENCH_BATCH=8 TRACE_MODE=model python tools_dev/trace_step.py
   TRACE_MODE: full (default) | model (cached-feature fusion step) |
-              visual (ResNet extraction only)
+              visual (ResNet extraction only) |
+              pretrain (cached-feature seq2seq step, batch 16)
+
+If the tensorboard_plugin_profile gviz converter is unavailable (protobuf
+version mismatch on this image), the trace still lands in TRACE_DIR —
+aggregate it with tools_dev/analyze_trace.py instead.
 """
 
 import glob
@@ -37,8 +42,9 @@ def main():
     from macsa_tpu.train.state import TrainState
     from macsa_tpu.train.steps import extract_visual, make_finetune_train_step
 
-    b = int(os.environ.get("BENCH_BATCH", "8"))
     mode = os.environ.get("TRACE_MODE", "full")
+    b = int(os.environ.get("BENCH_BATCH",
+                           "16" if mode == "pretrain" else "8"))
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
     logdir = os.environ.get("TRACE_DIR", "/tmp/macsa_trace")
 
@@ -48,9 +54,8 @@ def main():
                      text=TextEncoderConfig(dtype="bfloat16",
                                             fused_attention=fused,
                                             scan_layers=scan))
-    fused_conv = os.environ.get("BENCH_FUSED_CONV", "0") == "1"
     model = FCMF(cfg)
-    visual = VisualFeatures(ResNetConfig(fused_conv=fused_conv))
+    visual = VisualFeatures(ResNetConfig())
     batch = make_batch(cfg, b)
     key = jax.random.PRNGKey(0)
 
@@ -86,6 +91,42 @@ def main():
         def run(state):
             state, metrics = step(state, mbatch, key)
             return state, metrics["loss"]
+    elif mode == "pretrain":
+        from macsa_tpu.config import DecoderConfig
+        from macsa_tpu.models.seq2seq import FCMFSeq2Seq
+        from macsa_tpu.train.steps import make_pretrain_train_step
+
+        dec_cfg = DecoderConfig(vocab_size=cfg.text.vocab_size,
+                                dtype="bfloat16")
+        s2s = FCMFSeq2Seq(cfg, dec_cfg)
+        t_dec = dec_cfg.max_decode_len
+        batch["enc_input_ids"] = batch.pop("input_ids")[:, 0]
+        for k2 in ("token_type_ids", "attention_mask", "added_mask"):
+            batch[k2] = batch[k2][:, 0]
+        batch["dec_input_ids"] = jax.jit(
+            lambda k: jax.random.randint(k, (b, t_dec), 2,
+                                         cfg.text.vocab_size, jnp.int32))(
+            jax.random.PRNGKey(7))
+        batch["labels"] = jnp.roll(batch["dec_input_ids"], -1,
+                                   axis=1).at[:, -1].set(-100)
+        pparams = fast_init(
+            lambda k, *a: s2s.init(k, *a)["params"],
+            batch["enc_input_ids"][:1], batch["dec_input_ids"][:1],
+            jnp.zeros((1,) + grid.shape[1:], grid.dtype),
+            jnp.zeros((1,) + roi.shape[1:], roi.dtype),
+            batch["roi_coors"][:1], None, batch["attention_mask"][:1],
+            batch["added_mask"][:1])
+        state = TrainState.create(pparams, visual_params, tx)
+        g, r = jax.jit(lambda vp, im, ri: extract_visual(visual, vp, im, ri))(
+            visual_params, batch["images"], batch["roi_images"])
+        mbatch = {k: v for k, v in batch.items()
+                  if k not in ("images", "roi_images")}
+        mbatch["grid"], mbatch["roi"] = g, r
+        pstep = make_pretrain_train_step(s2s, visual, donate=False)
+
+        def run(state):
+            state, metrics = pstep(state, mbatch, key)
+            return state, metrics["loss"]
     else:
         def run(state):
             state, metrics = step(state, batch, key)
@@ -108,7 +149,13 @@ def main():
     xplane = planes[-1]
     print(f"# trace: {xplane}", file=sys.stderr)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    except Exception as e:  # protobuf version mismatch on this image
+        print(f"# gviz converter unavailable ({type(e).__name__}); "
+              f"aggregate with: python tools_dev/analyze_trace.py {logdir}",
+              file=sys.stderr)
+        return
     data, _ = rttd.xspace_to_tool_data([xplane], "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
