@@ -194,6 +194,19 @@ class DecoderConfig:
     max_position_embeddings: int = 512
     max_decode_len: int = 20  # --max_len_decoder default (run_pretraining_fcmf.py:61)
     dtype: str = _dtype_field()
+    # Run the 12 identical blocks as one lax.scan body with params stacked
+    # on a leading [num_blocks] axis (path blocks/block/...).  Unlike the
+    # L=170 text encoder (where scan loses ~13 ms/step to residual stacking,
+    # see TextEncoderConfig.scan_layers), the decoder works at T=20 with
+    # ffn_hidden=768: per-block residuals are ~2 MB and the unrolled stack
+    # is sequencer-dispatch-bound — the r04 pretrain trace measured ~20k op
+    # executions/step (sliced param prefetches + tiny matmuls), 29.6 ms
+    # device-busy inside a 69.9 ms wall step.  Scanning collapses the op
+    # count ~12x.  Measured trade-off recorded in docs/DESIGN.md.
+    # `stack_block_params`/`unstack_block_params` convert checkpoints
+    # between the two layouts.
+    scan_blocks: bool = False
+    scan_unroll: int = 1
     # emulate the reference Attention's batch-size-dependent head<->weight
     # pairing (models/attention.py) — parity testing only
     emulate_reference_heads: bool = False

@@ -143,48 +143,72 @@ class TransformerDecoderBlock(nn.Module):
         return out, {"kv": kv}
 
 
+class _ScanDecoderBlock(nn.Module):
+    """TransformerDecoderBlock body with the (carry, ys) contract `nn.scan`
+    expects; the per-block KV cache (when decoding) is the scanned
+    input/output (stacked on a leading [num_blocks] axis)."""
+
+    config: DecoderConfig
+    cross_mask_mode: str
+
+    @nn.compact
+    def __call__(self, x: Array, cache_kv: Optional[Array],
+                 enc_outputs: Array, enc_mask: Optional[Array],
+                 deterministic: bool, step: Optional[Array]):
+        blk = TransformerDecoderBlock(self.config,
+                                      cross_mask_mode=self.cross_mask_mode,
+                                      name="block")
+        cache = None if cache_kv is None else {"kv": cache_kv}
+        out, new_cache = blk(x, enc_outputs, enc_mask, deterministic,
+                             cache=cache, step=step)
+        return out, (None if new_cache is None else new_cache["kv"])
+
+
 class IAOGDecoder(nn.Module):
     """12-block decoder; embedding scaled by sqrt(H) + sinusoidal pos-enc;
     output head weight-tied to the embedding (mm_modeling.py:634-666).
 
     The token-embedding table is passed in (shared three ways with the text
     backbone, fcmf_pretraining.py:162-166).
+
+    With `config.scan_blocks` the block stack runs as one `lax.scan` body
+    with params stacked on a leading [num_blocks] axis (path
+    `blocks/block/...`) and the decode cache a single stacked
+    [num_blocks, B, max_len, H] buffer; otherwise blocks unroll as
+    `block_{i}` modules.  Identical math either way —
+    `stack_block_params`/`unstack_block_params` convert layouts (see
+    config.py for the measured trade-off: the T=20 decoder is
+    dispatch-bound when unrolled).
     """
 
     config: DecoderConfig
     cross_mask_mode: str = "causal_quirk"
 
-    def setup(self):
-        cfg = self.config
-        self.blocks = [
-            TransformerDecoderBlock(cfg, cross_mask_mode=self.cross_mask_mode,
-                                    name=f"block_{i}")
-            for i in range(cfg.num_blocks)
-        ]
-        self.out_bias = self.param("out_bias", nn.initializers.zeros,
-                                   (cfg.vocab_size,), jnp.float32)
-        self.embed_dropout = nn.Dropout(cfg.dropout)
-        self.pos_table = sinusoidal_positions(cfg.max_position_embeddings,
-                                              cfg.hidden_size)
+    @property
+    def _scanned(self) -> bool:
+        return self.config.scan_blocks and self.config.num_blocks > 1
 
     def init_cache(self, batch_size: int) -> Cache:
         cfg = self.config
-        return {
-            f"block_{i}": {"kv": jnp.zeros(
-                (batch_size, cfg.max_decode_len, cfg.hidden_size), cfg.jnp_dtype)}
-            for i in range(cfg.num_blocks)
-        }
+        shape = (batch_size, cfg.max_decode_len, cfg.hidden_size)
+        if self._scanned:
+            return {"kv": jnp.zeros((cfg.num_blocks,) + shape, cfg.jnp_dtype)}
+        return {f"block_{i}": {"kv": jnp.zeros(shape, cfg.jnp_dtype)}
+                for i in range(cfg.num_blocks)}
 
     def _embed(self, token_ids: Array, embedding_table: Array,
                position_offset: Array, deterministic: bool) -> Array:
         cfg = self.config
         x = embedding_table[token_ids].astype(cfg.jnp_dtype) * math.sqrt(cfg.hidden_size)
         l = token_ids.shape[1]
-        pe = jax.lax.dynamic_slice(self.pos_table, (position_offset, 0),
+        pos_table = sinusoidal_positions(cfg.max_position_embeddings,
+                                         cfg.hidden_size)
+        pe = jax.lax.dynamic_slice(pos_table, (position_offset, 0),
                                    (l, cfg.hidden_size))
         x = x + pe.astype(cfg.jnp_dtype)[None]
-        return self.embed_dropout(x, deterministic=deterministic)
+        return nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
 
+    @nn.compact
     def __call__(self, token_ids: Array, enc_outputs: Array,
                  enc_mask: Optional[Array], embedding_table: Array,
                  deterministic: bool = True,
@@ -192,17 +216,69 @@ class IAOGDecoder(nn.Module):
                  step: Optional[Array] = None):
         """Teacher-forcing when cache is None ([B, T] ids -> [B, T, V] logits);
         otherwise one decode step ([B, 1] ids -> [B, 1, V] logits, new cache)."""
+        cfg = self.config
         offset = jnp.asarray(0, jnp.int32) if cache is None else step
         x = self._embed(token_ids, embedding_table, offset, deterministic)
-        new_cache = {} if cache is not None else None
-        for i, blk in enumerate(self.blocks):
-            blk_cache = None if cache is None else cache[f"block_{i}"]
-            x, updated = blk(x, enc_outputs, enc_mask, deterministic,
-                             cache=blk_cache, step=step)
-            if cache is not None:
-                new_cache[f"block_{i}"] = updated
+        if self._scanned:
+            scan = nn.scan(
+                _ScanDecoderBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=((nn.broadcast if cache is None else 0,)
+                         + (nn.broadcast,) * 4),
+                out_axes=0,
+                length=cfg.num_blocks,
+                unroll=cfg.scan_unroll,
+            )
+            cache_kv = None if cache is None else cache["kv"]
+            x, kv = scan(cfg, self.cross_mask_mode, name="blocks")(
+                x, cache_kv, enc_outputs, enc_mask, deterministic, step)
+            new_cache = None if cache is None else {"kv": kv}
+        else:
+            new_cache = {} if cache is not None else None
+            for i in range(cfg.num_blocks):
+                blk = TransformerDecoderBlock(
+                    cfg, cross_mask_mode=self.cross_mask_mode,
+                    name=f"block_{i}")
+                blk_cache = None if cache is None else cache[f"block_{i}"]
+                x, updated = blk(x, enc_outputs, enc_mask, deterministic,
+                                 cache=blk_cache, step=step)
+                if cache is not None:
+                    new_cache[f"block_{i}"] = updated
+        out_bias = self.param("out_bias", nn.initializers.zeros,
+                              (cfg.vocab_size,), jnp.float32)
         logits = (x.astype(jnp.float32) @ embedding_table.T.astype(jnp.float32)
-                  + self.out_bias)
+                  + out_bias)
         if cache is not None:
             return logits, new_cache
         return logits
+
+
+def stack_block_params(params: Dict[str, Any],
+                       num_blocks: int) -> Dict[str, Any]:
+    """Convert unrolled `block_{i}` IAOGDecoder params to the scanned
+    `blocks/block` layout (leaves stacked on a leading [num_blocks] axis).
+    jit-safe; no-op if already stacked."""
+    if "blocks" in params or num_blocks <= 1:
+        return params
+    import numpy as np
+    out = {k: v for k, v in params.items() if not k.startswith("block_")}
+    per_block = [params[f"block_{i}"] for i in range(num_blocks)]
+    on_host = all(not isinstance(x, jax.core.Tracer)
+                  for x in jax.tree_util.tree_leaves(per_block))
+    stack = ((lambda *xs: np.stack([np.asarray(x) for x in xs]))
+             if on_host else (lambda *xs: jnp.stack(xs)))
+    out["blocks"] = {"block": jax.tree_util.tree_map(stack, *per_block)}
+    return out
+
+
+def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of `stack_block_params` (scanned -> unrolled layout)."""
+    if "blocks" not in params:
+        return params
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    stacked = params["blocks"]["block"]
+    num_blocks = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(num_blocks):
+        out[f"block_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
+    return out

@@ -168,9 +168,14 @@ class FCMFSeq2Seq(nn.Module):
                 seqs, tok_idx[..., None], (0, 0, step))
             done = gather(done) | (tok_idx == eos_id)
 
-            # reorder caches: flat index = b*k + beam
+            # reorder caches: flat index = b*k + beam.  Scanned-decoder cache
+            # leaves carry a leading [num_blocks] axis; batch is axis 1.
             flat_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
-            cache = jax.tree_util.tree_map(lambda x: x[flat_idx], cache)
+            scanned = (self.decoder_config.scan_blocks
+                       and self.decoder_config.num_blocks > 1)
+            reorder = ((lambda x: x[:, flat_idx]) if scanned
+                       else (lambda x: x[flat_idx]))
+            cache = jax.tree_util.tree_map(reorder, cache)
             return (tok_idx[..., None], cache, new_scores, seqs, done), None
 
         (tokens, cache, scores, seqs, done), _ = jax.lax.scan(

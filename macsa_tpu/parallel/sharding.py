@@ -55,9 +55,10 @@ def leaf_spec(path, leaf) -> P:
         return P("mp", None)
     if last == "shared_embedding" or parent == "shared_embedding":
         return P("mp", None)
-    # scanned layer stacks (text_encoder scan_layers) carry a leading
-    # [num_layers] axis on every leaf: same rules, shifted right by one.
-    stacked = "layers" in names
+    # scanned layer stacks (text_encoder scan_layers: "layers"; decoder
+    # scan_blocks: "blocks") carry a leading [num_layers] axis on every
+    # leaf: same rules, shifted right by one.
+    stacked = "layers" in names or "blocks" in names
     ndim = np.ndim(leaf) - (1 if stacked else 0)
     lead = (None,) if stacked else ()
     if last == "kernel" and ndim == 2:

@@ -71,6 +71,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="host->device pixel encoding (see finetune.py): "
                         "packed uint32 words (default) or the reference's "
                         "host-normalized float32")
+    p.add_argument("--scan_decoder", type=str, default="on",
+                   choices=["on", "off"],
+                   help="run the 12 decoder blocks as one lax.scan body "
+                        "(stacked params, config.py scan_blocks): ~12x "
+                        "fewer ops / ~3x smaller executable at the same "
+                        "step math; 'off' unrolls block_{i} modules")
     p.add_argument("--use_mde", action="store_true", default=False)
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3")
     p.add_argument("--mp", type=int, default=1,
@@ -169,7 +175,8 @@ def main(argv: Optional[list] = None) -> dict:
                             hidden_size=cfg.model.hidden_size,
                             num_blocks=cfg.model.num_hidden_layers,
                             num_heads=cfg.model.num_attention_heads,
-                            max_decode_len=args.max_len_decoder, dtype=dtype)
+                            max_decode_len=args.max_len_decoder, dtype=dtype,
+                            scan_blocks=args.scan_decoder == "on")
     rcfg = ResNetConfig(dtype=dtype, stage_sizes=tuple(
         int(s) for s in args.resnet_stages.split(",")))
 
@@ -235,8 +242,17 @@ def main(argv: Optional[list] = None) -> dict:
     ckpt = CheckpointManager(args.output_dir)
     start_epoch, best_loss = 0, float("inf")
     if args.resume_from_checkpoint and ckpt.exists(args.resume_from_checkpoint):
-        state, start_epoch, neg_best = ckpt.restore(args.resume_from_checkpoint,
-                                                    state)
+        try:
+            state, start_epoch, neg_best = ckpt.restore(
+                args.resume_from_checkpoint, state)
+        except Exception:
+            other = "off" if args.scan_decoder == "on" else "on"
+            logger.error(
+                "checkpoint restore failed — if this checkpoint was written "
+                f"with the other decoder layout, rerun with --scan_decoder "
+                f"{other} (models/decoder.py stack_block_params converts "
+                "layouts offline)")
+            raise
         best_loss = -neg_best
         logger.info(f"resumed from epoch {start_epoch}")
 

@@ -167,12 +167,19 @@ def _decoder_block(sd, prefix):
 
 def import_fcmf_seq2seq(state_dict: Dict[str, Any], num_text_layers: int = 12,
                         num_blocks: int = 12,
-                        scan_layers: bool = False) -> Dict[str, Any]:
-    """Full Phase-1 FCMFSeq2Seq torch checkpoint -> FCMFSeq2Seq params."""
+                        scan_layers: bool = False,
+                        scan_blocks: bool = False) -> Dict[str, Any]:
+    """Full Phase-1 FCMFSeq2Seq torch checkpoint -> FCMFSeq2Seq params.
+
+    `scan_blocks` emits the decoder in the scanned `blocks/block` layout
+    (DecoderConfig.scan_blocks — the pretrain driver's default)."""
     sd = normalize_reference_keys(state_dict)
     decoder = {f"block_{i}": _decoder_block(sd, f"decoder.blks.block{i}")
                for i in range(num_blocks)}
     decoder["out_bias"] = _np(sd["decoder.dense.bias"])
+    if scan_blocks and num_blocks > 1:
+        from macsa_tpu.models.decoder import stack_block_params
+        decoder = stack_block_params(decoder, num_blocks)
     return {
         "shared_embedding": _np(sd["decoder.embedding.weight"]),
         "encoder": import_fcmf_encoder(sd, num_text_layers,

@@ -107,3 +107,63 @@ def test_weight_tied_logits(rng):
     np.testing.assert_allclose(np.asarray(logits0), np.broadcast_to(
         bias, logits0.shape), rtol=1e-4, atol=1e-4)
     assert not np.allclose(np.asarray(logits1), np.asarray(logits0))
+
+def test_scanned_blocks_match_unrolled(rng):
+    """scan_blocks (lax.scan over one block body, stacked params + stacked
+    KV cache) is the same math as the unrolled block_{i} stack — teacher
+    forcing, grads, and incremental decode."""
+    import dataclasses
+
+    from macsa_tpu.models.decoder import (stack_block_params,
+                                          unstack_block_params)
+
+    b, t = 2, 5
+    dec_u, params_u, table, ids, enc_out, enc_mask = _setup(rng, b=b, t=t)
+    cfg_s = dataclasses.replace(DEC, scan_blocks=True)
+    dec_s = IAOGDecoder(cfg_s)
+    p_u = params_u["params"]
+    p_s = stack_block_params(p_u, DEC.num_blocks)
+    lead = jax.tree_util.tree_leaves(p_s["blocks"]["block"])[0]
+    assert lead.shape[0] == DEC.num_blocks
+
+    full_u = dec_u.apply({"params": p_u}, ids, enc_out, enc_mask, table)
+    full_s = dec_s.apply({"params": p_s}, ids, enc_out, enc_mask, table)
+    np.testing.assert_allclose(np.asarray(full_s), np.asarray(full_u),
+                               rtol=1e-5, atol=1e-5)
+
+    # roundtrip layout conversion is exact
+    p_rt = unstack_block_params(p_s)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_array_equal(np.asarray(a),
+                                                    np.asarray(b_)),
+        p_u, p_rt)
+
+    # grads agree (stacked vs per-block)
+    def loss(dec, p):
+        return jnp.sum(dec.apply({"params": p}, ids, enc_out, enc_mask,
+                                 table) ** 2)
+    g_u = stack_block_params(jax.grad(lambda p: loss(dec_u, p))(p_u),
+                             DEC.num_blocks)
+    g_s = jax.grad(lambda p: loss(dec_s, p))(p_s)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4),
+        g_u["blocks"], jax.tree_util.tree_map(np.asarray, g_s["blocks"]))
+
+    # incremental decode through the stacked cache matches teacher forcing
+    cache = dec_s.apply({"params": p_s}, b, method=IAOGDecoder.init_cache)
+    assert cache["kv"].shape[0] == DEC.num_blocks
+    step_logits = []
+    for s in range(t):
+        logits, cache = dec_s.apply({"params": p_s}, ids[:, s:s + 1],
+                                    enc_out, enc_mask, table,
+                                    cache=cache, step=jnp.asarray(s))
+        step_logits.append(np.asarray(logits)[:, 0])
+    inc = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(inc, np.asarray(full_s), rtol=2e-3, atol=2e-3)
+
+    # dropout path traces and runs under scan (split rngs per block)
+    out = dec_s.apply({"params": p_s}, ids, enc_out, enc_mask, table,
+                      deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(3)})
+    assert out.shape == full_s.shape

@@ -157,3 +157,51 @@ def test_scanned_forward_variant_decodes_identically():
     np.testing.assert_array_equal(np.asarray(got_seqs), np.asarray(want_seqs))
     np.testing.assert_allclose(np.asarray(got_scores),
                                np.asarray(want_scores), rtol=2e-5, atol=2e-5)
+
+def test_scanned_decoder_blocks_decode_identically():
+    """scan_blocks decoder (stacked params + stacked KV cache) produces the
+    same greedy and beam decodes as the unrolled layout — the beam cache
+    reorder must index batch on axis 1 of the stacked cache."""
+    import dataclasses
+
+    from macsa_tpu.models.decoder import stack_block_params
+
+    rng = np.random.default_rng(7)
+    dec_u = dataclasses.replace(DEC, num_blocks=2)
+    dec_s = dataclasses.replace(dec_u, scan_blocks=True)
+    m_u = FCMFSeq2Seq(CFG, dec_u)
+    m_s = FCMFSeq2Seq(CFG, dec_s)
+    enc_ids = jnp.asarray(rng.integers(3, VOCAB, size=(B, L)).astype(np.int32))
+    dec_ids = jnp.asarray(rng.integers(3, VOCAB, size=(B, T)).astype(np.int32))
+    vis = jnp.asarray(rng.normal(size=(B, 2, 4, 16)).astype(np.float32))
+    roi = jnp.asarray(rng.normal(size=(B, 2, 2, 16)).astype(np.float32))
+    coors = jnp.asarray(rng.uniform(0, 1, size=(B, 2, 2, 4)).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    added = jnp.ones((B, L + 4), jnp.int32)
+    p_u = m_u.init(jax.random.PRNGKey(0), enc_ids, dec_ids, vis, roi, coors,
+                   None, mask, added)["params"]
+    p_s = dict(p_u)
+    p_s["decoder"] = stack_block_params(p_u["decoder"], 2)
+
+    tf_u = m_u.apply({"params": p_u}, enc_ids, dec_ids, vis, roi, coors,
+                     None, mask, added)
+    tf_s = m_s.apply({"params": p_s}, enc_ids, dec_ids, vis, roi, coors,
+                     None, mask, added)
+    np.testing.assert_allclose(np.asarray(tf_s), np.asarray(tf_u),
+                               rtol=1e-5, atol=1e-5)
+
+    kw = dict(token_type_ids=None, attention_mask=mask,
+              added_attention_mask=added)
+    g_u = m_u.apply({"params": p_u}, enc_ids, vis, roi, coors, BOS, EOS,
+                    method=FCMFSeq2Seq.greedy_decode, **kw)
+    g_s = m_s.apply({"params": p_s}, enc_ids, vis, roi, coors, BOS, EOS,
+                    method=FCMFSeq2Seq.greedy_decode, **kw)
+    np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g_u))
+
+    b_u, s_u = m_u.apply({"params": p_u}, enc_ids, vis, roi, coors, BOS, EOS,
+                         3, method=FCMFSeq2Seq.beam_decode, **kw)
+    b_s, s_s = m_s.apply({"params": p_s}, enc_ids, vis, roi, coors, BOS, EOS,
+                         3, method=FCMFSeq2Seq.beam_decode, **kw)
+    np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_u))
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_u),
+                               rtol=1e-4, atol=1e-4)

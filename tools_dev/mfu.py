@@ -153,7 +153,9 @@ def main():
 
     if "pretrain" in modes:
         dec_cfg = DecoderConfig(vocab_size=cfg.text.vocab_size,
-                                dtype="bfloat16")
+                                dtype="bfloat16",
+                                scan_blocks=os.environ.get(
+                                    "BENCH_SCAN_DECODER", "1") != "0")
         s2s = FCMFSeq2Seq(cfg, dec_cfg)
         t_dec = dec_cfg.max_decode_len
         pb = make_batch(cfg, b_pre)

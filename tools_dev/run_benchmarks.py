@@ -24,7 +24,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference",
-                 "pixels", "pixels_u8", "full_b16", "model_b16", "mfu")
+                 "pixels", "pixels_u8", "full_b16", "model_b16",
+                 "model_remat", "full_unfused", "pretrain_unrolled", "mfu")
 
 # pseudo-modes: recorded name -> (real BENCH_MODE, extra env)
 MODE_VARIANTS = {
@@ -34,6 +35,10 @@ MODE_VARIANTS = {
     # at b16; b32 regresses (ResNet extraction fusions degrade — DESIGN.md)
     "full_b16": ("full", {"BENCH_BATCH": "16"}),
     "model_b16": ("model", {"BENCH_BATCH": "16"}),
+    # checkpoint_dots remat on the encoder blocks (config.py remat_blocks)
+    "model_remat": ("model", {"BENCH_REMAT": "1"}),
+    # unrolled-decoder pretrain (scan_blocks=True is the bench default)
+    "pretrain_unrolled": ("pretrain", {"BENCH_SCAN_DECODER": "0"}),
 }
 
 

@@ -97,7 +97,9 @@ def main():
         from macsa_tpu.train.steps import make_pretrain_train_step
 
         dec_cfg = DecoderConfig(vocab_size=cfg.text.vocab_size,
-                                dtype="bfloat16")
+                                dtype="bfloat16",
+                                scan_blocks=os.environ.get(
+                                    "BENCH_SCAN_DECODER", "1") != "0")
         s2s = FCMFSeq2Seq(cfg, dec_cfg)
         t_dec = dec_cfg.max_decode_len
         batch["enc_input_ids"] = batch.pop("input_ids")[:, 0]
