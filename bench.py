@@ -226,7 +226,12 @@ def main():
     if mode not in BASELINES:
         raise SystemExit(f"unknown BENCH_MODE={mode!r}; "
                          f"choose one of {sorted(BASELINES)}")
-    default_batch = "16" if mode == "pretrain" else "8"
+    # full/model default to batch 16 — the measured-best operating point on
+    # one v5e chip (r04 sweep, docs/DESIGN.md: per-step constants like the
+    # batch-invariant AdamW update amortize; b32 regresses in the extract
+    # program's conv fusions).  visual/pixels/inference are per-sample-flat
+    # and stay at 8; pretrain is 16 like the reference.
+    default_batch = "16" if mode in ("pretrain", "full", "model") else "8"
     batch_size = int(os.environ.get("BENCH_BATCH", default_batch))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 

@@ -24,17 +24,19 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference",
-                 "pixels", "pixels_u8", "full_b16", "model_b16",
+                 "pixels", "pixels_u8", "full_b8", "model_b8",
                  "model_remat", "full_unfused", "pretrain_unrolled", "mfu")
 
 # pseudo-modes: recorded name -> (real BENCH_MODE, extra env)
 MODE_VARIANTS = {
     "pixels_u8": ("pixels", {"BENCH_PIXEL_TRANSFER": "u8"}),
     "full_unfused": ("full", {"BENCH_FUSED": "0"}),
-    # batch sweep (VERDICT r3 item 8): per-step costs (AdamW update) amortize
-    # at b16; b32 regresses (ResNet extraction fusions degrade — DESIGN.md)
-    "full_b16": ("full", {"BENCH_BATCH": "16"}),
-    "model_b16": ("model", {"BENCH_BATCH": "16"}),
+    # batch sweep (VERDICT r3 item 8): per-step costs (AdamW update)
+    # amortize at b16, which became the full/model default in r04; the b8
+    # rows keep the BENCH_r01-r03 operating point comparable.  b32
+    # regresses (ResNet extraction fusions degrade — DESIGN.md).
+    "full_b8": ("full", {"BENCH_BATCH": "8"}),
+    "model_b8": ("model", {"BENCH_BATCH": "8"}),
     # checkpoint_dots remat on the encoder blocks (config.py remat_blocks)
     "model_remat": ("model", {"BENCH_REMAT": "1"}),
     # unrolled-decoder pretrain (scan_blocks=True is the bench default)
