@@ -20,10 +20,14 @@ echo "=== [0/4] synthetic dataset at full text scale (12 layers) ==="
 python tools_dev/make_synth_data.py "$WORK" 96 12
 
 echo "=== [1/4] phase-1 IAOG pretraining (FCMFSeq2Seq, batch 16) ==="
+# --feature_cache_dir (v4): stages share one on-disk frozen-CNN feature
+# cache — stage 1 fills it, stages 2/4 prefill from it instead of
+# re-decoding + re-extracting the same images (train/disk_feature_cache.py)
 time python -m macsa_tpu.train.pretrain \
   --pretrained_data_dir "$WORK/data" --data_dir "$WORK/data" \
   --image_dir "$WORK/images" --output_dir "$WORK/out_pre" \
   --pretrained_hf_model "$WORK/tok" \
+  --feature_cache_dir "$WORK/feat_cache" \
   --num_imgs 7 --num_rois 4 --alpha 1.0 --max_len_decoder 8 \
   --train_batch_size 16 --learning_rate 3e-5 --warmup_proportion 0.1 \
   --num_train_epochs 3 --seed 42 --log_every 1 --debug_decode_every 10 \
@@ -34,6 +38,7 @@ time python -m macsa_tpu.train.finetune \
   --data_dir "$WORK/data" --image_dir "$WORK/images" \
   --output_dir "$WORK/out_ft" --pretrained_hf_model "$WORK/tok" \
   --pretrained_iaog_path "$WORK/out_pre/last" \
+  --feature_cache_dir "$WORK/feat_cache" \
   --num_imgs 7 --num_rois 4 --alpha 1 \
   --train_batch_size 8 --eval_batch_size 8 \
   --encoder_learning_rate 7e-5 --classifier_head_learning_rate 7e-4 \

@@ -111,6 +111,7 @@ def main(argv=None):
         # legacy spelling of the full_unfused pseudo-mode; no-op when the
         # pseudo-mode is already requested (would double-record otherwise)
         modes.append("full_unfused")
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     for mode in modes:
         real, extra = MODE_VARIANTS.get(mode, (mode, None))
         print(f"== {mode} ==", file=sys.stderr)
@@ -119,10 +120,11 @@ def main(argv=None):
         print(entry["stderr"], file=sys.stderr)
         print(json.dumps(entry["result"]), file=sys.stderr)
         record["runs"].append(entry)
-
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(record, f, indent=1)
+        # write after every mode: a multi-hour record survives a timeout /
+        # kill with the completed modes intact (tunnel uploads can cost
+        # 20+ min per new executable on a cold content cache)
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
     print(f"wrote {args.out}", file=sys.stderr)
 
 
