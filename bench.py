@@ -17,6 +17,9 @@ BENCH_MODE selects the measured path (baselines from BASELINE.md):
   strictly faster than train).
 * visual / model  — breakdown modes: ResNet extraction alone / fusion
   fwd+bwd+update on cached features.
+* pretrain_model  — steady-state Phase-1: the seq2seq fwd+bwd+update on
+  cached frozen-CNN features, the path the pretrain driver runs for every
+  epoch >= 1 (train/feature_cache.py + --cache_visual_features).
 * pixels          — the cold-epoch path: real host JPEG decode + fused
   resize-normalize through the native C++ image pipe
   (macsa_tpu/native/image_pipe.cpp), float32 host->device transfer
@@ -56,6 +59,7 @@ BASELINES = {  # pairs/s, BASELINE.md throughput table
     "visual": 7.1,     # breakdown of the full step
     "model": 7.1,      # breakdown of the full step
     "pretrain": 33.0,  # IAOG pretraining epoch bars (batch 16)
+    "pretrain_model": 33.0,  # steady-state pretrain (cached features)
     "inference": 7.1,  # no published number; fine-tune rate = lower bound
     "pixels": 7.1,     # cold-epoch full step (the reference decodes on the
                        # host every epoch too — it never caches pixels)
@@ -231,7 +235,8 @@ def main():
     # batch-invariant AdamW update amortize; b32 regresses in the extract
     # program's conv fusions).  visual/pixels/inference are per-sample-flat
     # and stay at 8; pretrain is 16 like the reference.
-    default_batch = "16" if mode in ("pretrain", "full", "model") else "8"
+    default_batch = ("16" if mode in ("pretrain", "pretrain_model",
+                                      "full", "model") else "8")
     batch_size = int(os.environ.get("BENCH_BATCH", default_batch))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
@@ -271,7 +276,7 @@ def main():
         lambda vp, im, ri: extract_visual(visual, vp, im, ri),
         visual_params, batch["images"][:1], batch["roi_images"][:1])
 
-    if mode == "pretrain":
+    if mode in ("pretrain", "pretrain_model"):
         from macsa_tpu.config import DecoderConfig
         from macsa_tpu.models.seq2seq import FCMFSeq2Seq
         from macsa_tpu.train.steps import make_pretrain_train_step
@@ -373,9 +378,12 @@ def main():
                                   batch["roi_images"])
                 images = images + grid[0, 0, 0, 0] * 0
             return state, {"loss": grid[0, 0, 0, 0]}
-    elif mode == "model":
-        # fusion fwd+bwd+update on cached features (the steady-state
-        # frozen-CNN epoch path); ResNet runs once outside the timed chain.
+    elif mode in ("model", "pretrain_model"):
+        # fusion (or pretrain seq2seq) fwd+bwd+update on cached features —
+        # the steady-state frozen-CNN epoch path the drivers run for every
+        # epoch >= 1 (train/feature_cache.py; the pretrain driver shares
+        # it, train/pretrain.py --cache_visual_features).  ResNet runs once
+        # outside the timed chain.
         grid_v, roi_v = jax.jit(
             lambda vp, im, ri: extract_visual(visual, vp, im, ri))(
                 visual_params, batch["images"], batch["roi_images"])
@@ -528,6 +536,8 @@ def main():
           f"(final loss {final:.3f})", file=sys.stderr)
     if mode in ("pretrain", "inference"):
         metric = f"fcmf_{mode}_image_text_pairs_per_s"
+    elif mode == "pretrain_model":
+        metric = "fcmf_pretrain_image_text_pairs_per_s_model"
     else:
         suffix = "" if mode == "full" else f"_{mode}"
         if mode == "pixels" and os.environ.get("BENCH_PIXEL_TRANSFER") == "u8":

@@ -23,8 +23,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEFAULT_MODES = ("full", "model", "visual", "pretrain", "inference",
-                 "pixels", "pixels_u8", "full_b8", "model_b8",
+DEFAULT_MODES = ("full", "model", "visual", "pretrain", "pretrain_model",
+                 "inference", "pixels", "pixels_u8", "full_b8", "model_b8",
                  "model_remat", "full_unfused", "pretrain_unrolled", "mfu")
 
 # pseudo-modes: recorded name -> (real BENCH_MODE, extra env)
