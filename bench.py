@@ -15,6 +15,10 @@ BENCH_MODE selects the measured path (baselines from BASELINE.md):
   publishes no inference throughput; vs_baseline uses the 7.1 pairs/s
   fine-tune figure as a LOWER bound on the reference (forward-only is
   strictly faster than train).
+* bundle          — the AOT StableHLO serving artifact (inference/export.py):
+  the exported+serialized+reloaded forward at serving dtype (f32, XLA
+  attention), timed through `exported.call` exactly as a bundle server
+  runs it.
 * visual / model  — breakdown modes: ResNet extraction alone / fusion
   fwd+bwd+update on cached features.
 * pretrain_model  — steady-state Phase-1: the seq2seq fwd+bwd+update on
@@ -61,6 +65,7 @@ BASELINES = {  # pairs/s, BASELINE.md throughput table
     "pretrain": 33.0,  # IAOG pretraining epoch bars (batch 16)
     "pretrain_model": 33.0,  # steady-state pretrain (cached features)
     "inference": 7.1,  # no published number; fine-tune rate = lower bound
+    "bundle": 7.1,     # AOT StableHLO serving bundle (same lower bound)
     "pixels": 7.1,     # cold-epoch full step (the reference decodes on the
                        # host every epoch too — it never caches pixels)
 }
@@ -204,8 +209,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE", "/root/.cache/jax_comp"))
+    from macsa_tpu.train.common import compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
     # rbg dropout-mask generation is ~2x cheaper than threefry on this TPU
     # (measured: 6.7 vs 13 ms/step of mask RNG at batch 8)
     jax.config.update("jax_default_prng_impl",
@@ -304,7 +309,11 @@ def main():
             batch["roi_coors"][:1], None, batch["attention_mask"][:1],
             batch["added_mask"][:1])
         state = TrainState.create(params, visual_params, tx)
-        step = make_pretrain_train_step(model, visual)
+        # BENCH_VOCAB_CHUNK > 0: fused chunked-vocab CE (no [B,T,V] f32
+        # logits; seq2seq.chunked_seq2seq_loss) — the r5 measurement knob
+        step = make_pretrain_train_step(
+            model, visual,
+            vocab_chunk=int(os.environ.get("BENCH_VOCAB_CHUNK", "0")))
     else:
         model = FCMF(cfg)
         params = fast_init(
@@ -362,6 +371,51 @@ def main():
                 logits = fwd(state.params, state.visual_params, bb)
                 # zero-valued data dependency chains the steps so the tail
                 # fetch cannot complete before every forward has run
+                images = images + logits[0, 0, 0] * 0
+            return state, {"loss": logits[0, 0, 0]}
+    elif mode == "bundle":
+        # AOT StableHLO serving path (inference/export.py): the SAME
+        # program a shipped bundle executes — f32 params/compute, XLA
+        # attention (no Mosaic custom_call; the bundle must stay portable),
+        # exported -> serialized -> deserialized -> jitted `exported.call`.
+        # Measures the serving artifact itself, not an in-process stand-in.
+        import dataclasses
+        from macsa_tpu.train.steps import fcmf_forward_all_aspects
+        serving_cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, dtype="float32",
+                                      fused_attention=False),
+            text=dataclasses.replace(cfg.text, dtype="float32",
+                                     fused_attention=False,
+                                     fused_attention_interpret=False))
+        serving_visual = VisualFeatures(
+            dataclasses.replace(rcfg, dtype="float32"))
+        serving_model = FCMF(serving_cfg)
+
+        def fwd(p, vp, bb):
+            return fcmf_forward_all_aspects(serving_model, p, serving_visual,
+                                            vp, bb, deterministic=True)
+
+        ibatch = {k: v for k, v in batch.items() if k != "labels"}
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+            (state.params, state.visual_params, ibatch))
+        t0 = time.time()
+        exported = jax.export.export(jax.jit(fwd))(*abstract)
+        blob = exported.serialize()
+        reloaded = jax.export.deserialize(blob)
+        print(f"# export+serialize+deserialize: {time.time() - t0:.1f}s, "
+              f"bundle {len(blob) / 1e6:.1f} MB", file=sys.stderr)
+        call = aot(jax.jit(reloaded.call), state.params,
+                   state.visual_params, ibatch)
+
+        def run_chain(state, n):
+            images = ibatch["images"]
+            logits = None
+            for _ in range(n):
+                bb = dict(ibatch)
+                bb["images"] = images
+                logits = call(state.params, state.visual_params, bb)
                 images = images + logits[0, 0, 0] * 0
             return state, {"loss": logits[0, 0, 0]}
     elif mode == "visual":
@@ -534,7 +588,7 @@ def main():
     pairs_per_s = samples_per_s * cfg.num_imgs
     print(f"# {dt / steps * 1e3:.1f} ms/step, {samples_per_s:.2f} samples/s "
           f"(final loss {final:.3f})", file=sys.stderr)
-    if mode in ("pretrain", "inference"):
+    if mode in ("pretrain", "inference", "bundle"):
         metric = f"fcmf_{mode}_image_text_pairs_per_s"
     elif mode == "pretrain_model":
         metric = "fcmf_pretrain_image_text_pairs_per_s_model"

@@ -213,9 +213,15 @@ class IAOGDecoder(nn.Module):
                  enc_mask: Optional[Array], embedding_table: Array,
                  deterministic: bool = True,
                  cache: Optional[Cache] = None,
-                 step: Optional[Array] = None):
+                 step: Optional[Array] = None,
+                 return_hidden: bool = False):
         """Teacher-forcing when cache is None ([B, T] ids -> [B, T, V] logits);
-        otherwise one decode step ([B, 1] ids -> [B, 1, V] logits, new cache)."""
+        otherwise one decode step ([B, 1] ids -> [B, 1, V] logits, new cache).
+
+        `return_hidden` (teacher-forcing only) skips the weight-tied output
+        head and returns the final hidden states [B, T, H] — the fused
+        chunked-vocab CE (seq2seq.chunked_seq2seq_loss) applies the head
+        chunk-by-chunk without materializing [B, T, V] logits."""
         cfg = self.config
         offset = jnp.asarray(0, jnp.int32) if cache is None else step
         x = self._embed(token_ids, embedding_table, offset, deterministic)
@@ -247,6 +253,8 @@ class IAOGDecoder(nn.Module):
                     new_cache[f"block_{i}"] = updated
         out_bias = self.param("out_bias", nn.initializers.zeros,
                               (cfg.vocab_size,), jnp.float32)
+        if return_hidden:
+            return x
         logits = (x.astype(jnp.float32) @ embedding_table.T.astype(jnp.float32)
                   + out_bias)
         if cache is not None:

@@ -70,13 +70,17 @@ class FCMFSeq2Seq(nn.Module):
     def __call__(self, enc_input_ids, dec_input_ids, visual_embeds_att,
                  roi_embeds_att, roi_coors, token_type_ids=None,
                  attention_mask=None, added_attention_mask=None,
-                 deterministic: bool = True) -> Array:
-        """Teacher-forcing forward -> [B, T_dec, V] logits."""
+                 deterministic: bool = True,
+                 return_hidden: bool = False) -> Array:
+        """Teacher-forcing forward -> [B, T_dec, V] logits (or [B, T_dec, H]
+        decoder hidden states with `return_hidden`, for the fused
+        chunked-vocab CE — see `chunked_seq2seq_loss`)."""
         enc_output, combined_mask = self.encode(
             enc_input_ids, visual_embeds_att, roi_embeds_att, roi_coors,
             token_type_ids, attention_mask, added_attention_mask, deterministic)
         return self.decoder(dec_input_ids, enc_output, combined_mask,
-                            self.shared_embedding, deterministic=deterministic)
+                            self.shared_embedding, deterministic=deterministic,
+                            return_hidden=return_hidden)
 
     # ------------------------------------------------------------------
     # Decoding (eval only, deterministic)
@@ -200,3 +204,73 @@ def seq2seq_loss(logits: Array, labels: Array, ignore_index: int = -100) -> Arra
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def chunked_seq2seq_loss(hidden: Array, embedding_table: Array, out_bias: Array,
+                         labels: Array, ignore_index: int = -100,
+                         chunk_size: int = 8192) -> Tuple[Array, Array]:
+    """CE + argmax over the weight-tied vocab head WITHOUT materializing the
+    [B, T, V] f32 logits (VERDICT r4 weak #6).
+
+    The head matmul (run_pretraining_fcmf.py:322-324 trains against
+    [B, V, T] logits; our decoder emits them at decoder.py's tail) is the
+    one tensor in the Phase-1 step larger than every activation combined —
+    [16, 20, 64001] f32 is ~82 MB written + re-read by log_softmax, gather,
+    argmax, and regenerated in the backward.  Here a `lax.scan` over vocab
+    chunks keeps only online-logsumexp statistics (m, s) plus a running
+    argmax; the body is `jax.checkpoint`-ed so the backward recomputes each
+    chunk's [N, C] logits instead of storing them.
+
+    Gradient-exact by construction: d lse/d logit_i = exp(logit_i - lse)
+    independent of the max-shift (the dm/dl path multiplies 1 - sum(p) = 0),
+    and the label-logit term differentiates through a plain gather.  The
+    parity test pins loss AND grads against `seq2seq_loss` on the full
+    logits (tests/test_seq2seq.py).
+
+    Returns (mean-over-valid-token CE, argmax token ids [B, T]).
+    """
+    b, t, h = hidden.shape
+    v = embedding_table.shape[0]
+    n = b * t
+    x = hidden.astype(jnp.float32).reshape(n, h)
+    emb = embedding_table.astype(jnp.float32)
+    bias = out_bias.astype(jnp.float32)
+
+    # pad vocab to a chunk multiple; pad bias -1e30 so padded logits never
+    # win the max and contribute exp(-huge) = 0 to the sum
+    num_chunks = -(-v // chunk_size)
+    pad = num_chunks * chunk_size - v
+    if pad:
+        emb = jnp.concatenate([emb, jnp.zeros((pad, h), emb.dtype)], axis=0)
+        bias = jnp.concatenate([bias, jnp.full((pad,), -1e30, bias.dtype)])
+
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0).reshape(n)
+    # label logit via row gather — [N, H] residual, not [N, V]
+    label_logit = jnp.einsum("nh,nh->n", x, emb[safe]) + bias[safe]
+
+    @jax.checkpoint
+    def body(carry, c):
+        m, s, best_val, best_idx = carry
+        e_c = jax.lax.dynamic_slice(emb, (c * chunk_size, 0), (chunk_size, h))
+        b_c = jax.lax.dynamic_slice(bias, (c * chunk_size,), (chunk_size,))
+        logits_c = x @ e_c.T + b_c[None, :]  # [N, C]
+        c_max = logits_c.max(axis=1)
+        m_new = jnp.maximum(m, c_max)
+        s = s * jnp.exp(m - m_new) + jnp.exp(logits_c - m_new[:, None]).sum(1)
+        c_arg = jnp.argmax(logits_c, axis=1).astype(jnp.int32) + c * chunk_size
+        better = c_max > best_val
+        best_val = jnp.where(better, c_max, best_val)
+        best_idx = jnp.where(better, c_arg, best_idx)
+        return (m_new, s, best_val, best_idx), None
+
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.int32))
+    (m, s, _, best_idx), _ = jax.lax.scan(
+        body, init, jnp.arange(num_chunks, dtype=jnp.int32))
+    lse = m + jnp.log(s)
+    nll = jnp.where(valid.reshape(n), lse - label_logit, 0.0)
+    loss = nll.sum() / jnp.maximum(valid.sum(), 1)
+    return loss, jax.lax.stop_gradient(best_idx).reshape(b, t)

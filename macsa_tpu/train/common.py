@@ -82,22 +82,36 @@ def load_tokenizer(pretrained_path: str):
         AutoTokenizer.from_pretrained(pretrained_path, local_files_only=True))
 
 
+def compilation_cache_dir() -> str:
+    """The per-host persistent-cache directory the drivers/bench use.
+
+    `<base>/<host_fingerprint>`: the JAX cache key does not include the
+    host's CPU features, and on this deployment the base directory lives on
+    a volume shared across machines — without the fingerprint subdir,
+    XLA:CPU loads AOT executables compiled for a *different* CPU ("
+    +prefer-no-scatter is not supported on the host machine ... could lead
+    to execution errors such as SIGILL") and computes subtly different
+    numerics (see macsa_tpu/utils/hostfp.py).  An explicit
+    `JAX_COMPILATION_CACHE_DIR` env var wins verbatim; `JAX_CACHE` sets the
+    base; default base is `~/.cache/jax_comp`.
+    """
+    explicit = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if explicit:
+        return explicit
+    from macsa_tpu.utils.hostfp import host_fingerprint
+    base = os.environ.get("JAX_CACHE", os.path.expanduser("~/.cache/jax_comp"))
+    return os.path.join(base, host_fingerprint())
+
+
 def enable_compilation_cache() -> None:
-    """Point JAX's persistent compilation cache at a stable directory.
+    """Point JAX's persistent compilation cache at the per-host directory.
 
     The FCMF programs compile in minutes at full scale; every driver is a
     fresh process (pretrain -> finetune -> inference), so without the
-    on-disk cache each stage pays the full XLA compile again.  An explicit
-    `JAX_COMPILATION_CACHE_DIR` env var wins; otherwise `JAX_CACHE`
-    (bench.py's knob) or `~/.cache/jax_comp`.
+    on-disk cache each stage pays the full XLA compile again.
     """
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        return  # jax picks the env var up itself
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE",
-                       os.path.expanduser("~/.cache/jax_comp")))
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
 
 
 class FusedAttention(NamedTuple):

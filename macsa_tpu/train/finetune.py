@@ -26,7 +26,7 @@ from typing import Optional
 
 import numpy as np
 
-from macsa_tpu.config import ASPECTS, POLARITIES, FCMFConfig, ModelConfig, ResNetConfig
+from macsa_tpu.config import ASPECTS, FCMFConfig, ModelConfig, ResNetConfig
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -472,22 +472,10 @@ def main(argv: Optional[list] = None) -> dict:
         report = aspect_report(trues, preds)
         result["test"] = report
 
-        # artifact files matching the reference (:660-694)
-        with open(os.path.join(args.output_dir, "test_results_fcmf.txt"), "w") as f:
-            for asp in ASPECTS:
-                r = report[asp]
-                f.write(f"{asp}: P={r['precision']:.4f} R={r['recall']:.4f} "
-                        f"F1={r['f1']:.4f}\n")
-            a = report["average"]
-            f.write(f"Average: P={a['precision']:.4f} R={a['recall']:.4f} "
-                    f"F1={a['f1']:.4f}\n")
-        with open(os.path.join(args.output_dir,
-                               "test_predictions_formatted.txt"), "w") as f:
-            for i, text in enumerate(texts):
-                f.write(f"Sentence: {text}\n")
-                for j, asp in enumerate(ASPECTS):
-                    f.write(f"  {asp}: predict={POLARITIES[preds[i, j]]} "
-                            f"label={POLARITIES[trues[i, j]]}\n")
+        # artifact files matching the reference (:660-694); byte format
+        # pinned by tests/test_metrics.py::test_report_files_byte_format
+        from macsa_tpu.train.metrics import write_test_reports
+        write_test_reports(args.output_dir, report, texts, trues, preds)
         logger.info(f"test macro-F1 {report['average']['f1']:.4f}")
 
     if disk_cache is not None:

@@ -77,6 +77,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(stacked params, config.py scan_blocks): ~12x "
                         "fewer ops / ~3x smaller executable at the same "
                         "step math; 'off' unrolls block_{i} modules")
+    p.add_argument("--vocab_chunk", type=int, default=0,
+                   help="fused chunked-vocab CE: >0 scans the weight-tied "
+                        "output head in chunks of this many vocab rows "
+                        "(online logsumexp; the [B,T,64001] f32 logits are "
+                        "never materialized; gradient-exact).  0 keeps the "
+                        "full-logits loss.")
     p.add_argument("--use_mde", action="store_true", default=False)
     p.add_argument("--resnet_stages", type=str, default="3,8,36,3")
     p.add_argument("--mp", type=int, default=1,
@@ -266,7 +272,8 @@ def main(argv: Optional[list] = None) -> dict:
         state_shard = None
         state = replicate(state, mesh)
     train_step = make_pretrain_train_step(model, visual, mesh=mesh,
-                                          state_sharding=state_shard)
+                                          state_sharding=state_shard,
+                                          vocab_chunk=args.vocab_chunk)
 
     # --- frozen-CNN visual feature cache, keyed by ORIGINAL review index
     # (IAOG expands each review into one sample per aspect — all of them

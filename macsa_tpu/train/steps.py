@@ -222,36 +222,55 @@ def make_finetune_eval_step(model: FCMF, visual: VisualFeatures,
 def make_pretrain_train_step(model: FCMFSeq2Seq, visual: VisualFeatures,
                              mesh: Optional[Mesh] = None,
                              donate: bool = True,
-                             state_sharding=None) -> Callable:
-    """Phase-1 IAOG seq2seq step (run_pretraining_fcmf.py:290-337)."""
+                             state_sharding=None,
+                             vocab_chunk: int = 0) -> Callable:
+    """Phase-1 IAOG seq2seq step (run_pretraining_fcmf.py:290-337).
+
+    `vocab_chunk` > 0 swaps the full-logits CE for the fused chunked-vocab
+    head+loss (seq2seq.chunked_seq2seq_loss): the [B, T, 64001] f32 logit
+    tensor is never materialized; loss and the token-accuracy argmax come
+    out of one online-logsumexp scan over vocab chunks.  Gradient-exact
+    (tests/test_seq2seq.py pins loss+grads against the full path)."""
+    from macsa_tpu.models.seq2seq import chunked_seq2seq_loss
 
     def step(state: TrainState, batch: Batch, rng: Array):
         rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
+        def visual_feats():
             if "grid" in batch:  # frozen-CNN feature cache (feature_cache.py)
                 dt = model.config.model.jnp_dtype
-                grid = jax.lax.stop_gradient(batch["grid"].astype(dt))
-                roi = jax.lax.stop_gradient(batch["roi"].astype(dt))
-            else:
-                grid, roi = extract_visual(
-                    visual, state.visual_params, batch["images"],
-                    batch["roi_images"], stop_grad=True,
-                    out_dtype=model.config.model.jnp_dtype)
-            logits = model.apply(
+                return (jax.lax.stop_gradient(batch["grid"].astype(dt)),
+                        jax.lax.stop_gradient(batch["roi"].astype(dt)))
+            return extract_visual(
+                visual, state.visual_params, batch["images"],
+                batch["roi_images"], stop_grad=True,
+                out_dtype=model.config.model.jnp_dtype)
+
+        def loss_fn(params):
+            grid, roi = visual_feats()
+            apply_args = (
                 {"params": params},
                 batch["enc_input_ids"], batch["dec_input_ids"], grid, roi,
                 batch["roi_coors"], batch.get("token_type_ids"),
-                batch["attention_mask"], batch["added_mask"],
-                deterministic=False, rngs={"dropout": rng})
+                batch["attention_mask"], batch["added_mask"])
+            if vocab_chunk > 0:
+                hidden = model.apply(*apply_args, deterministic=False,
+                                     rngs={"dropout": rng}, return_hidden=True)
+                loss, pred = chunked_seq2seq_loss(
+                    hidden, params["shared_embedding"],
+                    params["decoder"]["out_bias"], batch["labels"],
+                    chunk_size=vocab_chunk)
+                return loss, pred
+            logits = model.apply(*apply_args, deterministic=False,
+                                 rngs={"dropout": rng})
             loss = seq2seq_loss(logits, batch["labels"])
-            return loss, logits
+            return loss, logits.argmax(-1)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         new_state = state.apply_gradients(grads)
         valid = batch["labels"] != -100
-        acc = jnp.where(valid, logits.argmax(-1) == batch["labels"], 0).sum() \
+        acc = jnp.where(valid, pred == batch["labels"], 0).sum() \
             / jnp.maximum(valid.sum(), 1)
         return new_state, {"loss": loss, "token_accuracy": acc}
 

@@ -20,7 +20,6 @@ from typing import Optional
 
 import numpy as np
 
-from macsa_tpu.config import ASPECTS, POLARITIES
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -263,22 +262,9 @@ def main(argv: Optional[list] = None) -> dict:
         trues, preds, texts = run_eval(make_dataset("test"))
         report = aspect_report(trues, preds)
         result["test"] = report
-        with open(os.path.join(args.output_dir,
-                               f"test_results_{args.model}.txt"), "w") as f:
-            for asp in ASPECTS:
-                r = report[asp]
-                f.write(f"{asp}: P={r['precision']:.4f} R={r['recall']:.4f} "
-                        f"F1={r['f1']:.4f}\n")
-            a = report["average"]
-            f.write(f"Average: P={a['precision']:.4f} R={a['recall']:.4f} "
-                    f"F1={a['f1']:.4f}\n")
-        with open(os.path.join(args.output_dir,
-                               "test_predictions_formatted.txt"), "w") as f:
-            for i, text in enumerate(texts):
-                f.write(f"Sentence: {text}\n")
-                for j, asp in enumerate(ASPECTS):
-                    f.write(f"  {asp}: predict={POLARITIES[preds[i, j]]} "
-                            f"label={POLARITIES[trues[i, j]]}\n")
+        from macsa_tpu.train.metrics import write_test_reports
+        write_test_reports(args.output_dir, report, texts, trues, preds,
+                           results_filename=f"test_results_{args.model}.txt")
         logger.info(f"test macro-F1 {report['average']['f1']:.4f}")
     return result
 

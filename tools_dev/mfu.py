@@ -18,10 +18,20 @@ Programs (mirroring bench.py's modes):
 Usage: python tools_dev/mfu.py            (whole suite; ~4 compiles)
        MFU_MODES=model,pretrain python tools_dev/mfu.py
 Prints human-readable rows + ONE machine-parseable JSON line.
+
+**Per-process isolation (default, r5).** Measuring several programs in
+one process contaminates the later ones: the r4 committed record timed
+the pretrain program at 73.7 ms/step when measured fourth-in-process vs
+34.8 ms standalone (docs/MFU_PRETRAIN_RECHECK.txt root-causes the 2.1x).
+So when more than one mode is requested, each mode now runs in its own
+fresh subprocess (MFU_MODES=<mode> child invocations) and the parent
+merges the per-child JSON.  MFU_ISOLATE=0 restores the old
+single-process composition for studying exactly that interference.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -42,12 +52,41 @@ def compile_and_count(jitted, *args):
     return c, float(ca.get("flops", 0.0))
 
 
+def isolated_suite(modes):
+    """Run each mode as `MFU_MODES=<mode>` in a fresh subprocess; merge the
+    children's JSON lines into one suite record."""
+    merged = None
+    print(f"mfu suite, one fresh process per mode ({','.join(modes)}):")
+    for mode in modes:
+        env = dict(os.environ, MFU_MODES=mode)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise SystemExit(f"mfu child for mode {mode!r} failed "
+                             f"(exit {proc.returncode})")
+        line = next(l for l in reversed(proc.stdout.splitlines())
+                    if l.startswith("{"))
+        child = json.loads(line)
+        if merged is None:
+            merged = {k: v for k, v in child.items() if k != "modes"}
+            merged["isolated_processes"] = True
+            merged["modes"] = {}
+        merged["modes"].update(child["modes"])
+        for name, r in child["modes"].items():
+            print(f"  {name:9s}: {r['tflop']:7.2f} TFLOP  "
+                  f"{r['ms_per_step']:7.1f} ms/step -> "
+                  f"{r['tf_per_s']:6.1f} TF/s = {r['mfu_pct']:4.1f}% MFU"
+                  f"   [own process]")
+    print(json.dumps(merged))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE", "/root/.cache/jax_comp"))
+    from macsa_tpu.train.common import compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
     jax.config.update("jax_default_prng_impl",
                       os.environ.get("BENCH_PRNG", "rbg"))
 
@@ -67,6 +106,8 @@ def main():
     b_pre = int(os.environ.get("BENCH_BATCH_PRETRAIN", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     modes = os.environ.get("MFU_MODES", "visual,model,full,pretrain").split(",")
+    if len(modes) > 1 and os.environ.get("MFU_ISOLATE", "1") != "0":
+        return isolated_suite(modes)
     fused = os.environ.get("BENCH_FUSED", "1") != "0"
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
                                        fused_attention=fused),

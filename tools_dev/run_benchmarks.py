@@ -24,8 +24,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_MODES = ("full", "model", "visual", "pretrain", "pretrain_model",
-                 "inference", "pixels", "pixels_u8", "full_b8", "model_b8",
-                 "model_remat", "full_unfused", "pretrain_unrolled", "mfu")
+                 "pretrain_model_chunked", "inference", "inference_b16",
+                 "inference_b32", "bundle", "pixels", "pixels_u8", "full_b8",
+                 "model_b8", "model_remat", "full_unfused",
+                 "pretrain_unrolled", "mfu")
 
 # pseudo-modes: recorded name -> (real BENCH_MODE, extra env)
 MODE_VARIANTS = {
@@ -41,6 +43,13 @@ MODE_VARIANTS = {
     "model_remat": ("model", {"BENCH_REMAT": "1"}),
     # unrolled-decoder pretrain (scan_blocks=True is the bench default)
     "pretrain_unrolled": ("pretrain", {"BENCH_SCAN_DECODER": "0"}),
+    # r5: fused chunked-vocab CE (seq2seq.chunked_seq2seq_loss — no
+    # [B,T,64001] f32 logits) vs the default full-logits pretrain loss
+    "pretrain_model_chunked": ("pretrain_model", {"BENCH_VOCAB_CHUNK": "8192"}),
+    # r5: serving batch sweep (VERDICT r4 item 7) — forward-only
+    # activations are small, so larger serving batches may amortize
+    "inference_b16": ("inference", {"BENCH_BATCH": "16"}),
+    "inference_b32": ("inference", {"BENCH_BATCH": "32"}),
 }
 
 

@@ -28,8 +28,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE", "/root/.cache/jax_comp"))
+    from macsa_tpu.train.common import compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", compilation_cache_dir())
     jax.config.update("jax_default_prng_impl",
                       os.environ.get("BENCH_PRNG", "rbg"))
 
