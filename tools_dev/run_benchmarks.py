@@ -44,8 +44,10 @@ MODE_VARIANTS = {
     # unrolled-decoder pretrain (scan_blocks=True is the bench default)
     "pretrain_unrolled": ("pretrain", {"BENCH_SCAN_DECODER": "0"}),
     # r5: fused chunked-vocab CE (seq2seq.chunked_seq2seq_loss — no
-    # [B,T,64001] f32 logits) vs the default full-logits pretrain loss
-    "pretrain_model_chunked": ("pretrain_model", {"BENCH_VOCAB_CHUNK": "8192"}),
+    # [B,T,64001] f32 logits) vs the default full-logits pretrain loss.
+    # 16384 (4 chunks) measured best; 8192 costs ~1.5% (docs/DESIGN.md)
+    "pretrain_model_chunked": ("pretrain_model",
+                               {"BENCH_VOCAB_CHUNK": "16384"}),
     # r5: serving batch sweep (VERDICT r4 item 7) — forward-only
     # activations are small, so larger serving batches may amortize
     "inference_b16": ("inference", {"BENCH_BATCH": "16"}),
