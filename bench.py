@@ -381,15 +381,18 @@ def main():
         # Measures the serving artifact itself, not an in-process stand-in.
         import dataclasses
         from macsa_tpu.train.steps import fcmf_forward_all_aspects
+        # BENCH_BUNDLE_DTYPE=bfloat16 measures the fast serving point
+        # (export.py --dtype bfloat16); default f32 = checkpoint-exact
+        sdt = os.environ.get("BENCH_BUNDLE_DTYPE", "float32")
         serving_cfg = dataclasses.replace(
             cfg,
-            model=dataclasses.replace(cfg.model, dtype="float32",
+            model=dataclasses.replace(cfg.model, dtype=sdt,
                                       fused_attention=False),
-            text=dataclasses.replace(cfg.text, dtype="float32",
+            text=dataclasses.replace(cfg.text, dtype=sdt,
                                      fused_attention=False,
                                      fused_attention_interpret=False))
         serving_visual = VisualFeatures(
-            dataclasses.replace(rcfg, dtype="float32"))
+            dataclasses.replace(rcfg, dtype=sdt))
         serving_model = FCMF(serving_cfg)
 
         def fwd(p, vp, bb):

@@ -45,13 +45,18 @@ _META_FILE = "bundle.json"
 
 
 def _serving_config(text_cfg: TextEncoderConfig, num_imgs: int, num_roi: int,
-                    max_seq_length: int, cross_mask_mode: str) -> FCMFConfig:
-    """float32 params + XLA attention: the portable serving configuration."""
-    text_cfg = dataclasses.replace(text_cfg, dtype="float32",
+                    max_seq_length: int, cross_mask_mode: str,
+                    dtype: str = "float32") -> FCMFConfig:
+    """XLA attention + the chosen compute dtype: the portable serving
+    configuration.  float32 (default) matches the checkpoint-mode forward
+    bit-for-bit; bfloat16 is the fast serving point (still pure StableHLO
+    — bf16 ops lower on CPU too) with ~1e-2 logit deviation, argmax
+    predictions virtually always identical."""
+    text_cfg = dataclasses.replace(text_cfg, dtype=dtype,
                                    fused_attention=False,
                                    fused_attention_interpret=False)
     return FCMFConfig(
-        model=ModelConfig(dtype="float32"),
+        model=ModelConfig(dtype=dtype),
         text=text_cfg, num_imgs=num_imgs, num_roi=num_roi,
         max_text_len=max_seq_length,
         decoder_cross_mask_mode=cross_mask_mode)
@@ -84,15 +89,17 @@ def export_bundle(checkpoint: str, output_dir: str, batch_size: int = 8,
                   platforms=("cpu", "tpu"), logger=None,
                   fcmf_config: Optional[FCMFConfig] = None,
                   resnet_config: Optional[ResNetConfig] = None,
-                  image_size: int = 224) -> str:
+                  image_size: int = 224, dtype: str = "float32") -> str:
     """Lower the full inference forward at serving shapes and write a bundle.
 
     `checkpoint` accepts the same sources as the inference CLI: an orbax
     train-state / params dir, or a reference torch .pth (legacy key renames
     included, inference.py:172-193).  `fcmf_config`/`resnet_config` override
     the constructed configs (tests; programmatic export of non-default
-    architectures) — dtype/fused-attention are still forced to the portable
-    serving settings.
+    architectures) — fused attention is still forced off (portability) and
+    the compute dtype to `dtype`: "float32" (default) matches the
+    checkpoint-mode forward bit-for-bit; "bfloat16" is the fast serving
+    point (see _serving_config).
     """
     import jax
     from flax import serialization
@@ -103,20 +110,22 @@ def export_bundle(checkpoint: str, output_dir: str, batch_size: int = 8,
     from macsa_tpu.train import common
     from macsa_tpu.train.steps import fcmf_forward_all_aspects
 
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"serving dtype {dtype!r}: float32|bfloat16")
     if fcmf_config is not None:
         cfg = dataclasses.replace(
             fcmf_config,
-            model=dataclasses.replace(fcmf_config.model, dtype="float32",
+            model=dataclasses.replace(fcmf_config.model, dtype=dtype,
                                       fused_attention=False),
-            text=dataclasses.replace(fcmf_config.text, dtype="float32",
+            text=dataclasses.replace(fcmf_config.text, dtype=dtype,
                                      fused_attention=False,
                                      fused_attention_interpret=False))
     else:
-        text_cfg = common.build_text_config(pretrained_hf_model, "float32")
+        text_cfg = common.build_text_config(pretrained_hf_model, dtype)
         cfg = _serving_config(text_cfg, num_imgs, num_rois, max_seq_length,
-                              cross_mask_mode)
+                              cross_mask_mode, dtype)
     rcfg = resnet_config if resnet_config is not None else ResNetConfig(
-        dtype="float32", stage_sizes=tuple(resnet_stages))
+        dtype=dtype, stage_sizes=tuple(resnet_stages))
     model, visual = FCMF(cfg), VisualFeatures(rcfg)
 
     key = jax.random.PRNGKey(0)
@@ -246,6 +255,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=("causal_quirk", "padding"))
     p.add_argument("--platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering platforms")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="serving compute dtype: float32 matches checkpoint-"
+                        "mode logits bit-for-bit; bfloat16 is the fast "
+                        "TPU serving point (docs/BENCHMARKS.json bundle "
+                        "rows)")
     return p
 
 
@@ -263,7 +278,7 @@ def main(argv=None) -> str:
         max_seq_length=args.max_seq_length,
         cross_mask_mode=args.cross_mask_mode,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s),
-        logger=logger)
+        dtype=args.dtype, logger=logger)
     logger.info(f"bundle written to {out}")
     print(json.dumps({"bundle": out}))
     return out

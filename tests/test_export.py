@@ -129,3 +129,26 @@ def test_partial_batch_padding(bundle):
     too_many = {k: np.repeat(v, 2, axis=0) for k, v in full.items()}
     with pytest.raises(ValueError):
         served.predict(too_many)
+
+
+def test_bfloat16_bundle_close_to_f32(bundle, tmp_path):
+    """--dtype bfloat16 export: same StableHLO serving path at bf16 compute
+    (the fast TPU serving point, docs/BENCHMARKS.json bundle_bf16).  Logits
+    track the f32 bundle to bf16 tolerance and the meta records the dtype."""
+    from macsa_tpu.inference.export import export_bundle, load_bundle
+
+    out, model, visual, params, visual_params = bundle
+    ckpt = os.path.join(os.path.dirname(out), "ckpt", "raw")
+    out16 = export_bundle(
+        checkpoint=ckpt, output_dir=str(tmp_path / "bundle16"), batch_size=B,
+        platforms=("cpu",), fcmf_config=CFG, resnet_config=RESNET,
+        image_size=IMG, dtype="bfloat16")
+    with open(os.path.join(out16, "bundle.json")) as f:
+        meta = json.load(f)
+    assert meta["config"]["model"]["dtype"] == "bfloat16"
+
+    batch = _batch(np.random.default_rng(3), B)
+    got16 = load_bundle(out16).predict(batch)
+    got32 = load_bundle(out).predict(batch)
+    # bf16 activations: coarse absolute tolerance, but predictions agree
+    np.testing.assert_allclose(got16, got32, atol=0.15, rtol=0.2)

@@ -25,7 +25,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_MODES = ("full", "model", "visual", "pretrain", "pretrain_model",
                  "pretrain_model_chunked", "inference", "inference_b16",
-                 "inference_b32", "bundle", "pixels", "pixels_u8", "full_b8",
+                 "inference_b32", "bundle", "bundle_bf16", "pixels",
+                 "pixels_u8", "full_b8",
                  "model_b8", "model_remat", "full_unfused",
                  "pretrain_unrolled", "mfu")
 
@@ -52,6 +53,8 @@ MODE_VARIANTS = {
     # activations are small, so larger serving batches may amortize
     "inference_b16": ("inference", {"BENCH_BATCH": "16"}),
     "inference_b32": ("inference", {"BENCH_BATCH": "32"}),
+    # r5: the bf16 serving bundle (export.py --dtype bfloat16)
+    "bundle_bf16": ("bundle", {"BENCH_BUNDLE_DTYPE": "bfloat16"}),
 }
 
 
