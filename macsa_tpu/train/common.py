@@ -88,10 +88,10 @@ def compilation_cache_dir() -> str:
     `<base>/<host_fingerprint>`: the JAX cache key does not include the
     host's CPU features, and on this deployment the base directory lives on
     a volume shared across machines — without the fingerprint subdir,
-    XLA:CPU loads AOT executables compiled for a *different* CPU ("
-    +prefer-no-scatter is not supported on the host machine ... could lead
-    to execution errors such as SIGILL") and computes subtly different
-    numerics (see macsa_tpu/utils/hostfp.py).  An explicit
+    XLA:CPU can load AOT executables compiled for a *different* CPU
+    (subtly different numerics; SIGILL in the worst case — see
+    macsa_tpu/utils/hostfp.py, incl. the note on which loader warnings
+    are benign pseudo-feature mismatches).  An explicit
     `JAX_COMPILATION_CACHE_DIR` env var wins verbatim; `JAX_CACHE` sets the
     base; default base is `~/.cache/jax_comp`.
     """

@@ -1,15 +1,20 @@
 """Host fingerprint: a short stable ID of this machine's codegen identity.
 
-Why this exists (round-5 root cause): the JAX persistent compilation cache
-key does NOT include the host's CPU feature set, and on this deployment the
-cache directory (`~/.cache/jax_comp`) outlives any single machine — it is
-part of a shared volume.  XLA:CPU then loads AOT executables compiled on a
-host with different CPU features and warns, per function,
-``+prefer-no-scatter is not supported on the host machine ... could lead to
-execution errors such as SIGILL`` (xla cpu_aot_loader).  Besides the crash
-hazard, the loaded code computes *numerically different* results than a
-local compile would (different vector ISA paths), which is what made the
-round-4 fixed-seed loss goldens drift 0.02-0.11 on the bench host.
+Why this exists: the JAX persistent compilation cache key does NOT include
+the host's CPU feature set, and on this deployment the cache directory
+(`~/.cache/jax_comp`) outlives any single machine — it is part of a shared
+volume.  A host with a different CPU can therefore load AOT executables
+compiled elsewhere: at best subtly different numerics, at worst SIGILL.
+The per-host subdirectory removes that class of hazard.
+
+(Precision note, r5: the `cpu_aot_loader` warnings about
+``+prefer-no-scatter / +prefer-no-gather`` fire even for entries compiled
+on the SAME host — those are LLVM tuning pseudo-features that never appear
+in the loader's CPUID-derived host-feature list, so the warning alone does
+not prove a foreign entry.  The r4 loss-golden drift those warnings were
+blamed for was actually the e2e tests escaping to the real TPU through
+`jax.devices()` — see parallel/mesh.py: make_mesh.  The shared-volume
+cross-machine load remains real, hence this fingerprint.)
 
 Two consumers:
 

@@ -1,10 +1,15 @@
 """Portable fixed-seed goldens (round-5 policy).
 
-The r4 e2e loss goldens pinned absolute float values across machines and
-went red on the bench host: XLA:CPU codegen (and, before the per-host
-compile-cache fix, cross-machine AOT cache loads) makes the exact loss
-values deterministic *per host* but not portable across CPU families —
-measured drift 0.02-0.11 against a 1e-3 tolerance (VERDICT r4 weak #1).
+The r4 e2e loss goldens pinned absolute float values and went red on the
+bench host (drift 0.02-0.11 against a 1e-3 tolerance, VERDICT r4 weak #1).
+Root cause (r5): `make_mesh` built the mesh from `jax.devices()`, ignoring
+the conftest's CPU default-device pin, so under bare pytest the e2e tests
+silently ran on the REAL TPU (dp=1 through the tunnel) while recording
+environments with `JAX_PLATFORMS=cpu` ran the intended dp=8 CPU mesh —
+TPU-vs-CPU numerics, not cross-machine CPU codegen.  make_mesh now honors
+the pin (the harness is hermetic), and the goldens are CPU-mesh values.
+Exact values are still a function of host CPU codegen in principle, so the
+scheme stays fingerprint-keyed:
 
 This module keeps the regression sensitivity without the fragility:
 
