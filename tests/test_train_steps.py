@@ -175,3 +175,17 @@ def test_pretrain_step_runs(rng):
     state, m1 = step(state, batch, key)
     assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
     assert float(m1["loss"]) < float(m0["loss"])
+
+
+def test_make_mesh_honors_default_device_pin():
+    """Regression for the r4 golden-drift root cause: make_mesh must build
+    over the PINNED default device's platform.  It used `jax.devices()`,
+    which ignores the conftest's CPU pin and returns the highest-priority
+    registered backend — the real TPU in this deployment — so under bare
+    pytest the e2e driver tests silently ran dp=1 on the remote chip.
+    Under the conftest (default device pinned to CPU, 8 forced devices)
+    a no-args make_mesh must be the 8-device CPU mesh."""
+    mesh = make_mesh()
+    assert all(d.platform == "cpu" for d in mesh.devices.flat), \
+        [d.platform for d in mesh.devices.flat]
+    assert mesh.devices.size == 8
