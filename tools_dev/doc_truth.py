@@ -87,8 +87,38 @@ def main():
                 if not ok:
                     hard.append(f"{doc}:{line_no}: {v} pairs/s matches no "
                                 f"recorded run  |  {line.strip()[:100]}")
+    # 3. "% MFU"-shaped figures must match the record's isolated mfu entry
+    mfu_entry = next((run.get("result") for run in record["runs"]
+                      if run["mode"] == "mfu"), None)
+    if mfu_entry:
+        mfu_vals = [m["mfu_pct"] for m in mfu_entry["modes"].values()]
+        mfu_pat = re.compile(
+            r"([0-9]+(?:\.[0-9]+)?)\s*% MFU|MFU[^.\n]{0,30}?\*{0,2}"
+            r"([0-9]+(?:\.[0-9]+)?)\s*%")
+        for doc, body in text.items():
+            lines = body.splitlines()
+            for line_no, line in enumerate(lines, 1):
+                ctx = " ".join(lines[max(0, line_no - 15):line_no]).lower()
+                if any(m in ctx for m in HISTORY_MARKERS):
+                    continue
+                low = line.lower()
+                if any(w in low for w in ("bound", "ceiling", "roofline")):
+                    continue  # analytical limits, not measurements
+                for m in mfu_pat.finditer(line):
+                    v = float(m.group(1) or m.group(2))
+                    if v in (100.0,) or v < 5:
+                        continue
+                    ok = any(abs(v - rv) <= 0.75 for rv in mfu_vals) or \
+                        any(abs(v - round(rv)) < 1e-9 for rv in mfu_vals)
+                    # "~25%"-style roundings of the pretrain 24.56 pass via
+                    # the 0.75-point window; anything further is stale
+                    if not ok:
+                        hard.append(f"{doc}:{line_no}: {v}% MFU matches no "
+                                    f"isolated mfu-entry mode "
+                                    f"|  {line.strip()[:100]}")
+
     if hard:
-        print("STALE doc numbers (no recorded run within 1%):")
+        print("STALE doc numbers (no recorded run within tolerance):")
         for h in hard:
             print(f"  - {h}")
         sys.exit(1)
