@@ -258,15 +258,19 @@ def main():
                           "1" if mode == "inference" else "0") != "0"
     scan_unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
     # BENCH_REMAT=1: checkpoint_dots on the text-encoder blocks (recompute
-    # elementwise in bwd instead of saving activations — config.py)
+    # elementwise in bwd instead of saving activations — config.py).
+    # BENCH_REMAT_FFN=1: the finer FFN-only variant (attention untouched).
     remat = os.environ.get("BENCH_REMAT", "0") != "0"
+    remat_ffn = os.environ.get("BENCH_REMAT_FFN", "0") != "0"
     cfg = FCMFConfig(model=ModelConfig(dtype="bfloat16",
-                                       fused_attention=fused),
+                                       fused_attention=fused,
+                                       remat_ffn=remat_ffn),
                      text=TextEncoderConfig(dtype="bfloat16",
                                             fused_attention=fused,
                                             scan_layers=scan,
                                             scan_unroll=scan_unroll,
-                                            remat_blocks=remat))
+                                            remat_blocks=remat,
+                                            remat_ffn=remat_ffn))
     rcfg = ResNetConfig()
     visual = VisualFeatures(rcfg)
 

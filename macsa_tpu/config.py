@@ -54,6 +54,14 @@ class ModelConfig:
     # (train.common.resolve_fused_attention) — NOT inferred at trace time,
     # where the target platform is unknowable.
     fused_attention_interpret: bool = False
+    # jax.checkpoint ONLY the FFN sub-module (checkpoint_dots): saves the
+    # pre-gelu FFN1 output, recomputes gelu in backward — halves the
+    # double-[.., L, 3072] saved-activation writes the r04 trace attributed
+    # 22% of the fusion program to, WITHOUT touching the attention (whose
+    # Pallas custom-VJP whole-block remat would force to recompute — the
+    # r04 remat_blocks −19%).  Off by default; measurement in
+    # docs/DESIGN.md ("Selective FFN remat", r05).
+    remat_ffn: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -111,6 +119,8 @@ class TextEncoderConfig:
     # attributed (the double [B*A,170,3072] FFN tensors) for VPU recompute.
     # Measured on the v5e fusion step (docs/DESIGN.md); off by default.
     remat_blocks: bool = False
+    # FFN-only remat (see ModelConfig.remat_ffn)
+    remat_ffn: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -267,6 +267,22 @@ class BertMLP(nn.Module):
                            name="output_LayerNorm")(h + hidden)
 
 
+def _mlp_cls(cfg: "ModelConfig"):
+    """BertMLP, optionally remat'ed FFN-only (ModelConfig.remat_ffn):
+    checkpoint_dots saves the pre-activation FFN1 output and recomputes
+    gelu in the backward, halving the wide [.., L, intermediate]
+    saved-activation writes without touching the attention (whose Pallas
+    custom-VJP a whole-block remat would force to recompute).  Param path
+    is unchanged (nn.remat wraps the class; `name=` stays "mlp")."""
+    if not cfg.remat_ffn:
+        return BertMLP
+    import jax
+    # wrapped fn sees (module, hidden, deterministic): deterministic (a
+    # python bool) is static arg 2
+    return nn.remat(BertMLP, static_argnums=(2,),
+                    policy=jax.checkpoint_policies.checkpoint_dots)
+
+
 class BertLayer(nn.Module):
     """Full transformer layer (mm_modeling.py:331-342)."""
 
@@ -279,7 +295,7 @@ class BertLayer(nn.Module):
         h = BertAttention(self.config, name="attention")(
             hidden, additive_mask, deterministic,
             num_query_tokens=num_query_tokens)
-        return BertMLP(self.config, name="mlp")(h, deterministic)
+        return _mlp_cls(self.config)(self.config, name="mlp")(h, deterministic)
 
 
 class BertCrossAttentionLayer(nn.Module):
@@ -292,7 +308,7 @@ class BertCrossAttentionLayer(nn.Module):
                  deterministic: bool = True) -> Array:
         h = BertCrossAttention(self.config, name="attention")(
             s1, s2, s2_additive_mask, deterministic)
-        return BertMLP(self.config, name="mlp")(h, deterministic)
+        return _mlp_cls(self.config)(self.config, name="mlp")(h, deterministic)
 
 
 class MultimodalEncoder(nn.Module):

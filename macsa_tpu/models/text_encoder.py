@@ -42,6 +42,7 @@ def _block_config(cfg: TextEncoderConfig) -> ModelConfig:
         dtype=cfg.dtype,
         fused_attention=cfg.fused_attention,
         fused_attention_interpret=cfg.fused_attention_interpret,
+        remat_ffn=cfg.remat_ffn,
     )
 
 

@@ -129,3 +129,38 @@ def test_query_slicing_exact_cross_attention(rng):
     sliced = enc.apply(params, s1[:, :1], s2, mask)
     np.testing.assert_allclose(np.asarray(sliced), np.asarray(full[:, :1]),
                                rtol=0, atol=1e-6)
+
+
+def test_remat_ffn_exact_parity():
+    """ModelConfig.remat_ffn (FFN-only checkpoint_dots) must be a pure
+    memory/schedule knob: identical param structure, identical forward, and
+    matching grads — deterministic AND with live dropout (nn.remat replays
+    the same RNG in the recomputed region)."""
+    import dataclasses
+
+    cfg = ModelConfig(hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=4, intermediate_size=64)
+    cfg_r = dataclasses.replace(cfg, remat_ffn=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    m, mr = layers.BertLayer(cfg), layers.BertLayer(cfg_r)
+    p = m.init({"params": jax.random.PRNGKey(0)}, x, None, True)["params"]
+    pr = mr.init({"params": jax.random.PRNGKey(0)}, x, None, True)["params"]
+    assert (jax.tree_util.tree_structure(pr)
+            == jax.tree_util.tree_structure(p))
+
+    def loss(params, mod, det):
+        rngs = None if det else {"dropout": jax.random.PRNGKey(7)}
+        out = mod.apply({"params": params}, x, None, det, rngs=rngs)
+        return (out ** 2).sum()
+
+    for det in (True, False):
+        l0, g0 = jax.value_and_grad(lambda q: loss(q, m, det))(p)
+        l1, g1 = jax.value_and_grad(lambda q: loss(q, mr, det))(p)
+        assert float(l0) == float(l1)
+        for (path, a), b in zip(
+                jax.tree_util.tree_flatten_with_path(g0)[0],
+                jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+                err_msg=jax.tree_util.keystr(path))

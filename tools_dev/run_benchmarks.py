@@ -27,8 +27,8 @@ DEFAULT_MODES = ("full", "model", "visual", "pretrain", "pretrain_model",
                  "pretrain_model_chunked", "inference", "inference_b16",
                  "inference_b32", "bundle", "bundle_bf16", "pixels",
                  "pixels_u8", "full_b8",
-                 "model_b8", "model_remat", "full_unfused",
-                 "pretrain_unrolled", "mfu")
+                 "model_b8", "model_remat", "model_remat_ffn",
+                 "full_unfused", "pretrain_unrolled", "mfu")
 
 # pseudo-modes: recorded name -> (real BENCH_MODE, extra env)
 MODE_VARIANTS = {
@@ -55,6 +55,10 @@ MODE_VARIANTS = {
     "inference_b32": ("inference", {"BENCH_BATCH": "32"}),
     # r5: the bf16 serving bundle (export.py --dtype bfloat16)
     "bundle_bf16": ("bundle", {"BENCH_BUNDLE_DTYPE": "bfloat16"}),
+    # r5: FFN-only remat (ModelConfig.remat_ffn) — measured negative like
+    # remat_blocks, recorded for the same reason (docs/DESIGN.md)
+    "model_remat_ffn": ("model", {"BENCH_REMAT_FFN": "1"}),
+    "full_remat_ffn": ("full", {"BENCH_REMAT_FFN": "1"}),
 }
 
 
@@ -100,19 +104,29 @@ def main(argv=None):
                                                   "BENCHMARKS.json"))
     ap.add_argument("--also-unfused", action="store_true",
                     help="additionally run full mode with BENCH_FUSED=0")
+    ap.add_argument("--append", action="store_true",
+                    help="merge into an existing record instead of "
+                         "rewriting it: entries for the requested modes "
+                         "replace same-named ones, each stamped with its "
+                         "own git_rev (the header keeps the original "
+                         "full-suite provenance)")
     args = ap.parse_args(argv)
 
     rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
     dirty = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
                            capture_output=True, text=True).stdout.strip()
-    record = {
-        "git_rev": rev,
-        "git_dirty": bool(dirty),
-        "host_utc": datetime.datetime.now(
-            datetime.timezone.utc).isoformat(timespec="seconds"),
-        "runs": [],
-    }
+    if args.append and os.path.exists(args.out):
+        with open(args.out) as f:
+            record = json.load(f)
+    else:
+        record = {
+            "git_rev": rev,
+            "git_dirty": bool(dirty),
+            "host_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+            "runs": [],
+        }
     try:
         import jax
         record["jax_version"] = jax.__version__
@@ -131,8 +145,12 @@ def main(argv=None):
         print(f"== {mode} ==", file=sys.stderr)
         entry = run_mode(real, extra)
         entry["mode"] = mode
+        if args.append:
+            entry["git_rev"] = rev
+            entry["git_dirty"] = bool(dirty)
         print(entry["stderr"], file=sys.stderr)
         print(json.dumps(entry["result"]), file=sys.stderr)
+        record["runs"] = [r for r in record["runs"] if r["mode"] != mode]
         record["runs"].append(entry)
         # write after every mode: a multi-hour record survives a timeout /
         # kill with the completed modes intact (tunnel uploads can cost
