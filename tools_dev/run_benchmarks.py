@@ -24,6 +24,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_MODES = ("full", "model", "visual", "pretrain", "pretrain_model",
+                 "pretrain_model_b64", "pretrain_model_b96",
                  "pretrain_model_chunked", "inference", "inference_b16",
                  "inference_b32", "bundle", "bundle_bf16", "pixels",
                  "pixels_u8", "full_b8",
@@ -59,6 +60,13 @@ MODE_VARIANTS = {
     # remat_blocks, recorded for the same reason (docs/DESIGN.md)
     "model_remat_ffn": ("model", {"BENCH_REMAT_FFN": "1"}),
     "full_remat_ffn": ("full", {"BENCH_REMAT_FFN": "1"}),
+    # r5: Phase-1 steady-state batch sweep — the seq2seq program is
+    # intensity-poor at the reference's b16 and keeps scaling: b32 +23%,
+    # b64 +55%, b96 +60% over b16 (sweet spot; b128 OOMs — FFN saved activations).
+    # b16 stays the recorded default for reference comparability.
+    "pretrain_model_b32": ("pretrain_model", {"BENCH_BATCH": "32"}),
+    "pretrain_model_b64": ("pretrain_model", {"BENCH_BATCH": "64"}),
+    "pretrain_model_b96": ("pretrain_model", {"BENCH_BATCH": "96"}),
 }
 
 
