@@ -39,7 +39,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.7)
     p.add_argument("--max_seq_length", type=int, default=170)
     p.add_argument("--max_len_decoder", type=int, default=20)
-    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--train_batch_size", type=int, default=16,
+                   help="global batch (default 16, the reference's).  The "
+                        "steady-state seq2seq step keeps scaling well past "
+                        "it on one v5e chip — b96 measured 1.6x the b16 "
+                        "throughput (docs/DESIGN.md batch sweep); batch is "
+                        "a training hyperparameter, so raising it is the "
+                        "user's call, not the default's")
     p.add_argument("--eval_batch_size", type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=5e-5)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
