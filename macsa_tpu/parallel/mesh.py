@@ -43,7 +43,11 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     """
     if devices is None:
         pinned = jax.config.jax_default_device
-        plat = getattr(pinned, "platform", None) if pinned is not None else None
+        if isinstance(pinned, str):  # platform-name pins ("cpu", "cpu:0")
+            plat = pinned.split(":")[0]
+        else:
+            plat = (getattr(pinned, "platform", None)
+                    if pinned is not None else None)
         devices = jax.devices(plat) if plat else jax.devices()
     devices = list(devices)
     n = len(devices)
